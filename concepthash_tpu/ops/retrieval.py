@@ -1,0 +1,225 @@
+"""Retrieval scoring: mAP@R, P@k, R@k, PR curves — on device, chunked, static
+shapes.
+
+Implements the semantics of the reference's missing ``utils.hashing``
+(reconstructed from call sites in SURVEY.md §2.6; exercised at reference
+experiments/train_helper.py:228-234 and experiments/test_hashing.py:106-168):
+
+  - distances: Hamming over signed codes (popcount on packed bits), or
+    cosine / euclidean on raw codes (``dist_metric``), with optional ternary
+    threshold (reference configs/val.yaml:12).
+  - ranking: ascending distance; ties broken by database index
+    (deterministic stable sort — the reference's np.argsort default is
+    non-stable, so tie order there is arbitrary; we pin it, SURVEY.md §7
+    hard-part 3).
+  - AP@R per query: sum(P@i * rel_i, i<=R) / (#relevant in top R); queries
+    with no relevant item in top R are *excluded* from the mean (matches the
+    reference's ``if rel != 0: APx.append(...)`` convention).
+  - P@k = mean_q(#rel in top k)/k ; R@k = mean_q(#rel in top k / #rel in db),
+    queries with no relevant db item excluded from R@k.
+  - R == -1 means "whole database"; R may be a list -> list of mAPs.
+  - ``remove_first_retrieved`` drops rank-0 (self-retrieval when the test set
+    is its own database, reference test_hashing.py:105-112).
+
+TPU-native notes: query chunks are jitted with static (chunk, N) shapes; the
+database side may be sharded over the mesh's 'data' axis — distances are then
+computed shard-local and XLA inserts the all-gather before the sort.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concepthash_tpu.ops import hamming as H
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+def compute_distances(query_codes, db_codes, dist_metric: str = "hamming",
+                      threshold: float = 0.0):
+    """(Q, nbit) x (N, nbit) -> (Q, N) distances (smaller = closer)."""
+    if dist_metric == "hamming":
+        if threshold != 0.0:
+            return H.hamming_signs(query_codes, db_codes, threshold)
+        q = H.pack_bits(query_codes)
+        db = H.pack_bits(db_codes)
+        return H.hamming_packed(q, db)
+    if dist_metric == "cosine":
+        qn = query_codes / (jnp.linalg.norm(query_codes, axis=-1, keepdims=True) + 1e-12)
+        dn = db_codes / (jnp.linalg.norm(db_codes, axis=-1, keepdims=True) + 1e-12)
+        # HIGHEST precision: ranking exactness matters more than MXU bf16 speed
+        return 1.0 - jnp.dot(qn, dn.T, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    if dist_metric == "euclidean":
+        q2 = jnp.sum(query_codes ** 2, axis=-1, keepdims=True)
+        d2 = jnp.sum(db_codes ** 2, axis=-1, keepdims=True)
+        return q2 + d2.T - 2.0 * jnp.dot(query_codes, db_codes.T,
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.HIGHEST)
+    raise ValueError(f"unknown dist_metric {dist_metric!r}")
+
+
+# ---------------------------------------------------------------------------
+# chunked ranking metrics
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("dist_metric", "threshold", "Rs",
+                                             "ks", "drop_first"))
+def _chunk_stats(q_codes, q_labels, q_valid, db_codes, db_labels,
+                 dist_metric: str, threshold: float,
+                 Rs: tuple, ks: tuple, drop_first: bool):
+    """Per-query-chunk metrics. Returns dict of (C,)-shaped arrays.
+
+    Rs: tuple of cutoff ranks for AP; ks: precision/recall cutoffs.
+    """
+    dist = compute_distances(q_codes, db_codes, dist_metric, threshold)
+    dist = dist.astype(jnp.float32)
+    rel = (jnp.dot(q_labels.astype(jnp.float32), db_labels.astype(jnp.float32).T,
+                   preferred_element_type=jnp.float32) > 0)
+
+    order = jnp.argsort(dist, axis=1, stable=True)  # ties -> db index
+    rel_sorted = jnp.take_along_axis(rel, order, axis=1)
+    if drop_first:
+        rel_sorted = rel_sorted[:, 1:]
+    n = rel_sorted.shape[1]
+
+    ranks1 = jnp.arange(1, n + 1, dtype=jnp.float32)
+    cum = jnp.cumsum(rel_sorted.astype(jnp.float32), axis=1)
+    prec_at = cum / ranks1  # (C, n)
+
+    out = {}
+    for R in Rs:
+        r = n if (R == -1 or R > n) else int(R)
+        relmask = rel_sorted[:, :r].astype(jnp.float32)
+        ap_num = jnp.sum(prec_at[:, :r] * relmask, axis=1)
+        rel_count = cum[:, r - 1]
+        out[f"ap_sum@{R}"] = jnp.where(rel_count > 0, ap_num / rel_count, 0.0) * q_valid
+        out[f"ap_cnt@{R}"] = (rel_count > 0).astype(jnp.float32) * q_valid
+
+    total_rel = jnp.sum(rel.astype(jnp.float32), axis=1)
+    if drop_first:
+        total_rel = jnp.maximum(total_rel - 1.0, 0.0)
+    for k in ks:
+        kk = min(int(k), n)
+        topk_rel = cum[:, kk - 1]
+        out[f"p_sum@{k}"] = (topk_rel / kk) * q_valid
+        out[f"r_sum@{k}"] = jnp.where(total_rel > 0, topk_rel / total_rel, 0.0) * q_valid
+        out[f"r_cnt@{k}"] = (total_rel > 0).astype(jnp.float32) * q_valid
+    out["n_valid"] = q_valid
+    return out
+
+
+def _default_chunk(nq: int, ndb: int) -> int:
+    # ~64M distance entries per chunk keeps peak memory modest.
+    c = max(1, (1 << 26) // max(ndb, 1))
+    return int(min(nq, c))
+
+
+def calculate_mAP(db_codes, db_labels, query_codes, query_labels, R=-1,
+                  dist_metric: str = "hamming", PRs=(1, 5, 10),
+                  threshold: float = 0.0, remove_first_retrieved: bool = False,
+                  zero_mean: bool = False, chunk_size: int | None = None,
+                  multiclass: bool = False, onehot: bool = True, **_ignored):
+    """Reference-parity retrieval scoring.
+
+    Returns ``(mAP, recalls, precisions)`` — mAP is a float (or list when R is
+    a list); recalls/precisions are lists aligned with ``PRs``.
+    """
+    db_codes = jnp.asarray(db_codes, dtype=jnp.float32)
+    query_codes = jnp.asarray(query_codes, dtype=jnp.float32)
+    db_labels = _as_onehot(db_labels)
+    query_labels = _as_onehot(query_labels)
+
+    if zero_mean:
+        mean = db_codes.mean(axis=0, keepdims=True)
+        db_codes = db_codes - mean
+        query_codes = query_codes - mean
+
+    Rs = tuple(R) if isinstance(R, (list, tuple)) else (R,)
+    ks = tuple(int(k) for k in (PRs or ()))
+    nq, ndb = query_codes.shape[0], db_codes.shape[0]
+    chunk = chunk_size or _default_chunk(nq, ndb)
+
+    acc: dict[str, float] = {}
+    for s in range(0, nq, chunk):
+        e = min(s + chunk, nq)
+        qc = query_codes[s:e]
+        ql = query_labels[s:e]
+        valid = np.ones(e - s, np.float32)
+        if e - s < chunk:  # pad to static shape
+            pad = chunk - (e - s)
+            qc = jnp.pad(qc, ((0, pad), (0, 0)))
+            ql = jnp.pad(ql, ((0, pad), (0, 0)))
+            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+        stats = _chunk_stats(qc, ql, jnp.asarray(valid), db_codes, db_labels,
+                             dist_metric, float(threshold), Rs, ks,
+                             bool(remove_first_retrieved))
+        for k, v in stats.items():
+            acc[k] = acc.get(k, 0.0) + float(jnp.sum(v))
+
+    mAPs = []
+    for r in Rs:
+        cnt = acc.get(f"ap_cnt@{r}", 0.0)
+        mAPs.append(acc[f"ap_sum@{r}"] / cnt if cnt > 0 else 0.0)
+    n_valid = acc.get("n_valid", float(nq))
+    precisions = [acc[f"p_sum@{k}"] / n_valid for k in ks]
+    recalls = []
+    for k in ks:
+        cnt = acc.get(f"r_cnt@{k}", 0.0)
+        recalls.append(acc[f"r_sum@{k}"] / cnt if cnt > 0 else 0.0)
+
+    mAP = mAPs if isinstance(R, (list, tuple)) else mAPs[0]
+    return mAP, recalls, precisions
+
+
+def calculate_pr_curve(db_codes, db_labels, query_codes, query_labels,
+                       dist_metric: str = "hamming", threshold: float = 0.0,
+                       remove_first_retrieved: bool = False,
+                       num_points: int = 50, chunk_size: int | None = None,
+                       **_ignored):
+    """PR curve over log-spaced rank cutoffs. Returns (recalls, precisions, Rs)
+    (reference call site: test_hashing.py:153-162)."""
+    ndb = np.asarray(db_codes).shape[0]
+    n = ndb - 1 if remove_first_retrieved else ndb
+    Rs = sorted(set(np.unique(np.geomspace(1, n, num_points).astype(int)).tolist()))
+    _, recalls, precisions = calculate_mAP(
+        db_codes, db_labels, query_codes, query_labels, R=-1,
+        dist_metric=dist_metric, PRs=tuple(Rs), threshold=threshold,
+        remove_first_retrieved=remove_first_retrieved, chunk_size=chunk_size)
+    return recalls, precisions, list(Rs)
+
+
+def _as_onehot(labels):
+    labels = jnp.asarray(labels)
+    if labels.ndim == 1:
+        nclass = int(labels.max()) + 1
+        labels = jax.nn.one_hot(labels, nclass, dtype=jnp.float32)
+    return labels.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# label-pair helpers (reference utils.hashing.get_sim / log_trick)
+# ---------------------------------------------------------------------------
+
+def get_sim(y1, y2, onehot: bool = True):
+    """Pairwise label-match matrix S_ij = [y1_i ~ y2_j] (bool).
+
+    Call sites: reference models/loss/hashnet.py:73, models/loss/adsh.py."""
+    y1 = jnp.asarray(y1)
+    y2 = jnp.asarray(y2)
+    if not onehot or y1.ndim == 1:
+        return y1[:, None] == y2[None, :]
+    return jnp.dot(y1.astype(jnp.float32), y2.astype(jnp.float32).T,
+                   preferred_element_type=jnp.float32) > 0
+
+
+def log_trick(x):
+    """Numerically stable log(1 + exp(x)) (reference models/loss/hashnet.py:80)."""
+    return jax.nn.relu(x) + jnp.log1p(jnp.exp(-jnp.abs(x)))

@@ -1,0 +1,179 @@
+"""Retrieval metric parity vs a NumPy oracle implementing the reference
+formulas (SURVEY.md §2.6): Hamming on signed codes, stable ascending ranking,
+AP@R with zero-relevant queries excluded."""
+
+import numpy as np
+import pytest
+
+from concepthash_tpu.ops import hamming as H
+from concepthash_tpu.ops.retrieval import (
+    calculate_mAP,
+    calculate_pr_curve,
+    compute_distances,
+    get_sim,
+    log_trick,
+)
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (reference semantics, stable tie-break by db index)
+# ---------------------------------------------------------------------------
+
+def oracle_hamming(q, db, threshold=0.0):
+    def tsign(x):
+        return (x > threshold).astype(np.float64) - (x < -threshold).astype(np.float64)
+
+    sq, sdb = tsign(q), tsign(db)
+    nbit = q.shape[1]
+    return 0.5 * (nbit - sq @ sdb.T)
+
+
+def oracle_metrics(db_codes, db_labels, q_codes, q_labels, R, ks,
+                   threshold=0.0, drop_first=False):
+    dist = oracle_hamming(q_codes, db_codes, threshold)
+    order = np.argsort(dist, axis=1, kind="stable")
+    rel = (q_labels @ db_labels.T) > 0
+    APs, P, Rec = [], {k: [] for k in ks}, {k: [] for k in ks}
+    N = db_codes.shape[0]
+    for i in range(q_codes.shape[0]):
+        rel_sorted = rel[i, order[i]]
+        if drop_first:
+            rel_sorted = rel_sorted[1:]
+        n = rel_sorted.shape[0]
+        r = n if R == -1 or R > n else R
+        imatch = rel_sorted[:r]
+        cum = np.cumsum(imatch)
+        Px = cum / np.arange(1, r + 1)
+        nrel = imatch.sum()
+        if nrel > 0:
+            APs.append((Px * imatch).sum() / nrel)
+        total_rel = rel_sorted.sum()
+        for k in ks:
+            kk = min(k, n)
+            topk = rel_sorted[:kk].sum()
+            P[k].append(topk / kk)
+            if total_rel > 0:
+                Rec[k].append(topk / total_rel)
+    mAP = float(np.mean(APs)) if APs else 0.0
+    precisions = [float(np.mean(P[k])) for k in ks]
+    recalls = [float(np.mean(Rec[k])) if Rec[k] else 0.0 for k in ks]
+    return mAP, recalls, precisions
+
+
+def make_data(rng, nq=23, ndb=67, nbit=16, nclass=5):
+    q = rng.standard_normal((nq, nbit)).astype(np.float32)
+    db = rng.standard_normal((ndb, nbit)).astype(np.float32)
+    ql = np.eye(nclass, dtype=np.float32)[rng.integers(0, nclass, nq)]
+    dbl = np.eye(nclass, dtype=np.float32)[rng.integers(0, nclass, ndb)]
+    return q, db, ql, dbl
+
+
+def test_pack_bits_roundtrip(rng):
+    codes = rng.standard_normal((13, 40)).astype(np.float32)
+    packed = np.asarray(H.pack_bits(codes))
+    assert packed.shape == (13, 2)
+    ref = H.pack_bits_np(codes)
+    np.testing.assert_array_equal(packed, ref)
+
+
+def test_hamming_packed_matches_sign_dot(rng):
+    q, db, _, _ = make_data(rng, nbit=64)
+    d_pack = np.asarray(H.hamming_packed(H.pack_bits(q), H.pack_bits(db)))
+    d_sign = np.asarray(H.hamming_signs(q, db))
+    np.testing.assert_allclose(d_pack, d_sign, atol=1e-5)
+    d_oracle = oracle_hamming(q, db)
+    np.testing.assert_allclose(d_pack, d_oracle, atol=1e-5)
+
+
+@pytest.mark.parametrize("R", [-1, 10])
+def test_map_matches_oracle(rng, R):
+    q, db, ql, dbl = make_data(rng)
+    mAP, recalls, precisions = calculate_mAP(db, dbl, q, ql, R=R, PRs=(1, 5, 10))
+    o_mAP, o_rec, o_prec = oracle_metrics(db, dbl, q, ql, R, [1, 5, 10])
+    assert mAP == pytest.approx(o_mAP, abs=1e-5)
+    np.testing.assert_allclose(recalls, o_rec, atol=1e-5)
+    np.testing.assert_allclose(precisions, o_prec, atol=1e-5)
+
+
+def test_map_chunked_equals_unchunked(rng):
+    q, db, ql, dbl = make_data(rng, nq=37)
+    a = calculate_mAP(db, dbl, q, ql, R=-1, chunk_size=37)
+    b = calculate_mAP(db, dbl, q, ql, R=-1, chunk_size=8)
+    assert a[0] == pytest.approx(b[0], abs=1e-6)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-6)
+    np.testing.assert_allclose(a[2], b[2], atol=1e-6)
+
+
+def test_map_list_of_R(rng):
+    q, db, ql, dbl = make_data(rng)
+    mAPs, _, _ = calculate_mAP(db, dbl, q, ql, R=[5, 20, -1])
+    assert isinstance(mAPs, list) and len(mAPs) == 3
+    for R, m in zip([5, 20, -1], mAPs):
+        o, _, _ = oracle_metrics(db, dbl, q, ql, R, [1])
+        assert m == pytest.approx(o, abs=1e-5)
+
+
+def test_self_retrieval_drop_first(rng):
+    q, _, ql, _ = make_data(rng, nq=15)
+    mAP, _, _ = calculate_mAP(q, ql, q, ql, R=-1, remove_first_retrieved=True)
+    o, _, _ = oracle_metrics(q, ql, q, ql, -1, [1], drop_first=True)
+    assert mAP == pytest.approx(o, abs=1e-5)
+
+
+def test_ternary_threshold(rng):
+    q, db, ql, dbl = make_data(rng)
+    mAP, _, _ = calculate_mAP(db, dbl, q, ql, R=-1, threshold=0.5)
+    o, _, _ = oracle_metrics(db, dbl, q, ql, -1, [1], threshold=0.5)
+    assert mAP == pytest.approx(o, abs=1e-5)
+
+
+def test_perfect_and_random_extremes(rng):
+    # identical codes per class -> perfect retrieval
+    nclass, nbit = 4, 16
+    protos = np.sign(rng.standard_normal((nclass, nbit))).astype(np.float32)
+    labels = rng.integers(0, nclass, 40)
+    codes = protos[labels]
+    onehot = np.eye(nclass, dtype=np.float32)[labels]
+    mAP, _, precisions = calculate_mAP(codes, onehot, codes, onehot, R=-1, PRs=(1,))
+    assert mAP == pytest.approx(1.0, abs=1e-6)
+    assert precisions[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_zero_mean_eval(rng):
+    q, db, ql, dbl = make_data(rng)
+    mAP, _, _ = calculate_mAP(db, dbl, q, ql, R=-1, zero_mean=True)
+    mean = db.mean(0, keepdims=True)
+    o, _, _ = oracle_metrics(db - mean, dbl, q - mean, ql, -1, [1])
+    assert mAP == pytest.approx(o, abs=1e-5)
+
+
+def test_pr_curve_shapes(rng):
+    q, db, ql, dbl = make_data(rng)
+    recalls, precisions, Rs = calculate_pr_curve(db, dbl, q, ql, num_points=10)
+    assert len(recalls) == len(precisions) == len(Rs)
+    assert Rs[0] == 1 and Rs[-1] == db.shape[0]
+    # recall is monotonically nondecreasing in R
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_cosine_and_euclidean_metrics(rng):
+    q, db, ql, dbl = make_data(rng)
+    d_cos = np.asarray(compute_distances(q, db, "cosine"))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    dn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    np.testing.assert_allclose(d_cos, 1 - qn @ dn.T, atol=1e-5)
+    d_euc = np.asarray(compute_distances(q, db, "euclidean"))
+    ref = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_euc, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_get_sim_and_log_trick(rng):
+    y1 = np.eye(3, dtype=np.float32)[[0, 1, 2, 0]]
+    y2 = np.eye(3, dtype=np.float32)[[0, 0, 2]]
+    s = np.asarray(get_sim(y1, y2))
+    expected = np.array([[1, 1, 0], [0, 0, 0], [0, 0, 1], [1, 1, 0]], bool)
+    np.testing.assert_array_equal(s, expected)
+    x = np.array([-100.0, -1.0, 0.0, 1.0, 100.0], np.float32)
+    np.testing.assert_allclose(np.asarray(log_trick(x)),
+                               np.log1p(np.exp(np.minimum(x, 30))) + np.maximum(x - 30, 0),
+                               rtol=1e-5, atol=1e-6)
