@@ -1,0 +1,325 @@
+"""Flax CLIP (vision + text) with parameter-efficient adapters.
+
+TPU-first re-implementation of the backbone the reference builds from HF
+transformers (reference models/backbone/clip.py:107-254; adapter grafting at
+models/layers/adapter.py:398-421, models/arch/base.py:29-44). Differences by
+design:
+
+  - pure functional flax modules; compute dtype configurable (bfloat16 on TPU,
+    params stay float32) so matmuls hit the MXU at full rate;
+  - attention maps are NOT materialized unless asked (the reference always
+    runs with ``output_attentions=True`` — models/arch/coop.py:476-479 — which
+    materializes all 12 L×L attention tensors every step; here it is opt-in);
+  - extra (concept) tokens are a first-class input to the tower rather than a
+    monkey-patched embeddings module;
+  - position-embedding resizing for non-native resolutions uses
+    jax.image bicubic (note: PyTorch bicubic uses a=-0.75, jax uses Keys
+    a=-0.5; only exercised at non-default input sizes).
+
+Weight porting from HF checkpoints lives in ``clip_loader.py`` with per-layer
+activation-parity tests (tests/test_clip_port.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipVisionConfig:
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    image_size: int = 224
+    patch_size: int = 32
+    projection_dim: int = 512
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipTextConfig:
+    hidden_size: int = 512
+    intermediate_size: int = 2048
+    num_layers: int = 12
+    num_heads: int = 8
+    max_position_embeddings: int = 77
+    vocab_size: int = 49408
+    projection_dim: int = 512
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    eos_token_id: int = 49407
+
+
+@dataclasses.dataclass(frozen=True)
+class AdapterConfig:
+    """Bottleneck adapters added in parallel to attention & MLP outputs
+    (reference models/layers/adapter.py:11-60,146-170)."""
+
+    bottleneck_dim: int = 384
+    after_attention: bool = True   # reference adapt_mlp_1
+    after_mlp: bool = True         # reference adapt_mlp_2
+    layernorm_in: bool = True
+
+
+def activation(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    raise ValueError(name)
+
+
+class Adapter(nn.Module):
+    """LN-in -> down -> GELU -> up (zero-init) -> learnable scale."""
+
+    cfg: AdapterConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.cfg.layernorm_in:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        h = nn.Dense(self.cfg.bottleneck_dim, dtype=self.dtype, name="down")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="up",
+                     kernel_init=nn.initializers.zeros)(h)
+        scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
+        return h * scale.astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """CLIP-style MHA (bias on q/k/v/out). Returns (out, probs|None)."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        B, L, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        dense = lambda name: nn.Dense(D, dtype=self.dtype, name=name)
+        q = dense("q_proj")(x).reshape(B, L, H, hd)
+        k = dense("k_proj")(x).reshape(B, L, H, hd)
+        v = dense("v_proj")(x).reshape(B, L, H, hd)
+        scale = hd ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
+        out = dense("out_proj")(out)
+        return out, (probs if output_attentions else None)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN transformer block with optional parallel adapters.
+
+    Adapter math matches reference models/layers/adapter.py:146-170:
+    ``x = residual + branch(ln(x)) + adapter(branch(ln(x)))``.
+    """
+
+    num_heads: int
+    intermediate_size: int
+    eps: float = 1e-5
+    act: str = "quick_gelu"
+    adapters: Optional[AdapterConfig] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, output_attentions: bool = False):
+        res = x
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        h, probs = MultiHeadAttention(self.num_heads, self.dtype, name="self_attn")(
+            h, output_attentions)
+        if self.adapters is not None and self.adapters.after_attention:
+            h = h + Adapter(self.adapters, self.dtype, name="adapter_attn")(h)
+        x = res + h
+
+        res = x
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = activation(self.act)(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
+        if self.adapters is not None and self.adapters.after_mlp:
+            h = h + Adapter(self.adapters, self.dtype, name="adapter_mlp")(h)
+        x = res + h
+        return x, probs
+
+
+def resize_position_embedding(pos: jax.Array, num_patches: int) -> jax.Array:
+    """Bicubic-resize the grid part of a (1+N, D) CLIP position embedding to a
+    new patch count (reference models/arch/coop.py:429-450 semantics)."""
+    n_old = pos.shape[0] - 1
+    if n_old == num_patches:
+        return pos
+    side_old = int(math.sqrt(n_old))
+    side_new = int(math.sqrt(num_patches))
+    grid = pos[1:].reshape(side_old, side_old, -1)
+    grid = jax.image.resize(grid, (side_new, side_new, grid.shape[-1]),
+                            method="bicubic")
+    return jnp.concatenate([pos[:1], grid.reshape(side_new * side_new, -1)], axis=0)
+
+
+class ClipVisionTower(nn.Module):
+    """CLIP vision transformer.
+
+    ``__call__(pixel_values, extra_tokens=None, ...)`` where pixel_values is
+    NHWC float and extra_tokens (B, M, D) are appended after the patch
+    sequence (concept/hash queries — reference models/arch/coop.py:468-522).
+
+    Returns a dict:
+      last_hidden_state (B, L[+M], D)  — pre post-layernorm, like HF
+      pooled (B, proj_dim)             — post_ln(cls) @ visual_projection
+      cls_prenorm (B, D)
+      attentions: tuple of (B, H, L, L) if output_attentions
+    """
+
+    cfg: ClipVisionConfig
+    adapters: Optional[AdapterConfig] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values, extra_tokens=None,
+                 output_attentions: bool = False,
+                 output_hidden_states: bool = False):
+        c = self.cfg
+        B, Hh, Ww, _ = pixel_values.shape
+        x = nn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), use_bias=False,
+                    dtype=self.dtype, name="patch_embedding")(
+            pixel_values.astype(self.dtype))
+        n_patches = (Hh // c.patch_size) * (Ww // c.patch_size)
+        x = x.reshape(B, n_patches, c.hidden_size)
+
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(0.02), (c.hidden_size,), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.hidden_size)), x], axis=1)
+
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (c.seq_len, c.hidden_size), jnp.float32)
+        pos = resize_position_embedding(pos, n_patches).astype(self.dtype)
+        x = x + pos[None]
+
+        if extra_tokens is not None:
+            x = jnp.concatenate([x, extra_tokens.astype(self.dtype)], axis=1)
+
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="pre_layernorm")(x)
+
+        attns = []
+        hiddens = [x] if output_hidden_states else None
+        for i in range(c.num_layers):
+            x, probs = EncoderLayer(c.num_heads, c.intermediate_size,
+                                    c.layer_norm_eps, c.hidden_act,
+                                    self.adapters, self.dtype,
+                                    name=f"layers_{i}")(x, output_attentions)
+            if output_attentions:
+                attns.append(probs)
+            if output_hidden_states:
+                hiddens.append(x)
+
+        cls_out = x[:, 0, :]
+        pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                              name="post_layernorm")(cls_out)
+        pooled = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
+                          name="visual_projection")(pooled)
+
+        out = {"last_hidden_state": x, "pooled": pooled, "cls_prenorm": cls_out}
+        if output_attentions:
+            out["attentions"] = tuple(attns)
+        if output_hidden_states:
+            out["hidden_states"] = tuple(hiddens)
+        return out
+
+    def post_project(self, tokens):
+        """post_layernorm + visual_projection applied to arbitrary tokens
+        (used by the hash head when ``use_before_projection=False``)."""
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="post_layernorm")(tokens)
+        return nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
+                        name="visual_projection")(h)
+
+
+class ClipTextTower(nn.Module):
+    """CLIP text transformer (for the language-guided codebook, reference
+    trainers/orthohash.py:94-137, and the FILIP variant)."""
+
+    cfg: ClipTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids):
+        c = self.cfg
+        B, L = input_ids.shape
+        emb = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                       name="token_embedding")(input_ids)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (c.max_position_embeddings, c.hidden_size), jnp.float32)
+        x = emb + pos[None, :L].astype(self.dtype)
+
+        # causal mask
+        mask = jnp.tril(jnp.ones((L, L), bool))
+
+        for i in range(c.num_layers):
+            x = _CausalEncoderLayer(c.num_heads, c.intermediate_size,
+                                    c.layer_norm_eps, c.hidden_act, self.dtype,
+                                    name=f"layers_{i}")(x, mask)
+
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="final_layer_norm")(x)
+        # pooled = hidden state at the first eos token (HF CLIP pooling rule;
+        # rows without eos fall back to position 0, matching transformers)
+        eos_idx = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32), axis=-1)
+        pooled = x[jnp.arange(B), eos_idx]
+        proj = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
+                        name="text_projection")(pooled)
+        return {"last_hidden_state": x, "pooled": pooled, "text_embeds": proj}
+
+
+class _CausalEncoderLayer(nn.Module):
+    num_heads: int
+    intermediate_size: int
+    eps: float
+    act: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        B, L, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        res = x
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        dense = lambda name: nn.Dense(D, dtype=self.dtype, name=name)
+        q = dense("q_proj")(h).reshape(B, L, H, hd)
+        k = dense("k_proj")(h).reshape(B, L, H, hd)
+        v = dense("v_proj")(h).reshape(B, L, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+        logits = jnp.where(mask[None, None], logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        h = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
+        h = dense("out_proj")(h)
+        x = res + h
+        res = x
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = activation(self.act)(h)
+        h = nn.Dense(D, dtype=self.dtype, name="fc2")(h)
+        return res + h

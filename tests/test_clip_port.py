@@ -1,0 +1,168 @@
+"""Activation-parity of the flax CLIP towers vs HF transformers (torch CPU).
+
+Uses a small randomly-initialized HF CLIPModel (no network needed) and ports
+its weights; outputs must match within float32 tolerance (SURVEY.md §7 risk 1).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+from concepthash_tpu.models.clip import (
+    AdapterConfig,
+    ClipTextTower,
+    ClipVisionTower,
+)
+from concepthash_tpu.models.clip_loader import (
+    merge_ported,
+    text_config_from_hf,
+    text_params_from_torch,
+    vision_config_from_hf,
+    vision_params_from_torch,
+)
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    cfg = CLIPConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, image_size=32, patch_size=8,
+            projection_dim=32).to_dict(),
+        text_config=CLIPTextConfig(
+            hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=16,
+            vocab_size=100, projection_dim=32, eos_token_id=99).to_dict(),
+        projection_dim=32,
+    )
+    cfg._attn_implementation = "eager"  # sdpa can't return attention maps
+    model = CLIPModel(cfg).eval()
+    return model
+
+
+def test_vision_parity(hf_model):
+    vcfg = vision_config_from_hf(hf_model.config.vision_config)
+    tower = ClipVisionTower(vcfg)
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    init = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    ported = vision_params_from_torch(hf_model.state_dict(), vcfg.num_layers)
+    params = merge_ported(init, ported)
+
+    out = tower.apply({"params": params}, jnp.asarray(img),
+                      output_attentions=True)
+
+    with torch.no_grad():
+        timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+        hf_vis = hf_model.vision_model(timg, output_attentions=True)
+        hf_pooled = hf_model.visual_projection(hf_vis.pooler_output)
+
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]),
+                               hf_vis.last_hidden_state.numpy(),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pooled"]), hf_pooled.numpy(),
+                               rtol=1e-4, atol=2e-4)
+    # attention maps too (used by the attn-diversity loss)
+    for a, b in zip(out["attentions"], hf_vis.attentions):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-4, atol=2e-4)
+
+
+def test_vision_parity_with_extra_tokens(hf_model):
+    """Concept tokens appended to the sequence must transform exactly like the
+    reference's concatenation (models/arch/coop.py:468-479): HF gets the same
+    embeddings via inputs_embeds."""
+    vcfg = vision_config_from_hf(hf_model.config.vision_config)
+    tower = ClipVisionTower(vcfg)
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    extra = rng.standard_normal((2, 4, vcfg.hidden_size)).astype(np.float32)
+
+    init = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    params = merge_ported(init, vision_params_from_torch(hf_model.state_dict(),
+                                                         vcfg.num_layers))
+    out = tower.apply({"params": params}, jnp.asarray(img),
+                      extra_tokens=jnp.asarray(extra))
+
+    with torch.no_grad():
+        timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+        vm = hf_model.vision_model
+        emb = vm.embeddings(timg)  # (B, 1+N, D) with pos added
+        emb = torch.cat([emb, torch.from_numpy(extra)], dim=1)
+        h = vm.pre_layrnorm(emb)
+        enc = vm.encoder(inputs_embeds=h)
+        ref = enc.last_hidden_state.numpy()
+
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]), ref,
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_text_parity(hf_model):
+    tcfg = text_config_from_hf(hf_model.config.text_config)
+    tower = ClipTextTower(tcfg)
+    rng = np.random.default_rng(3)
+    # CLIP pools at the first eos token (id 99 in this toy config)
+    ids = rng.integers(1, 98, (3, 12))
+    ids[:, -1] = 99
+    ids = ids.astype(np.int32)
+
+    init = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 12), jnp.int32))["params"]
+    params = merge_ported(init, text_params_from_torch(hf_model.state_dict(),
+                                                       tcfg.num_layers))
+    out = tower.apply({"params": params}, jnp.asarray(ids))
+
+    with torch.no_grad():
+        tids = torch.from_numpy(ids).long()
+        hf_txt = hf_model.text_model(tids)
+        hf_emb = hf_model.text_projection(hf_txt.pooler_output)
+
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]),
+                               hf_txt.last_hidden_state.numpy(),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pooled"]),
+                               hf_txt.pooler_output.numpy(), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["text_embeds"]), hf_emb.numpy(),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_adapters_zero_init_preserve_function(hf_model):
+    """Fresh adapters must be the identity (up-proj zero-init, reference
+    models/layers/adapter.py:40-44), so a ported backbone with adapters
+    produces the same activations as without."""
+    vcfg = vision_config_from_hf(hf_model.config.vision_config)
+    plain = ClipVisionTower(vcfg)
+    adapted = ClipVisionTower(vcfg, adapters=AdapterConfig(bottleneck_dim=16))
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+
+    ported = vision_params_from_torch(hf_model.state_dict(), vcfg.num_layers)
+    p0 = merge_ported(plain.init(jax.random.PRNGKey(0), img)["params"], ported)
+    p1 = merge_ported(adapted.init(jax.random.PRNGKey(0), img)["params"], ported)
+
+    out0 = plain.apply({"params": p0}, img)
+    out1 = adapted.apply({"params": p1}, img)
+    np.testing.assert_allclose(np.asarray(out0["pooled"]),
+                               np.asarray(out1["pooled"]), rtol=1e-5, atol=1e-5)
+
+    # and adapter params exist / are trainable-shaped
+    assert "adapter_attn" in p1["layers_0"]
+    assert p1["layers_0"]["adapter_attn"]["down"]["kernel"].shape == (64, 16)
+
+
+def test_position_embedding_resize(hf_model):
+    """Non-native resolution runs via bicubic pos-embed resize
+    (reference models/arch/coop.py:429-450)."""
+    vcfg = vision_config_from_hf(hf_model.config.vision_config)
+    tower = ClipVisionTower(vcfg)
+    img = jnp.zeros((1, 48, 48, 3))  # 6x6 patches instead of 4x4
+    params = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    out = tower.apply({"params": params}, img)
+    assert out["last_hidden_state"].shape == (1, 1 + 36, vcfg.hidden_size)
