@@ -1,0 +1,179 @@
+"""ConceptHash: the flagship model (CVPRW 2024).
+
+M learnable concept queries are refined by one self-attention block, projected
+into the vision width, appended to the CLIP patch sequence, and contextualized
+by the (adapter-tuned, otherwise frozen) CLIP encoder; each concept's output
+token maps to an nbit/M sub-code; sub-codes concatenate and batch-normalize
+into the full code. Class centers come from CLIP *text* embeddings of class
+names, projected by a small trainable MLP.
+
+Capability-equivalent redesign of reference models/arch/coop.py:180-625
+(LGHWithoutText / LGHWithFixedPrompt) restricted to the paths the canonical
+config exercises (configs/model/concept_hash_final_v1_nosa_apt.yaml): multi
+hash-queries + single shared hash_fc + hash_pe, concat ensemble, BatchNorm on
+codes, fixed 512-d continuous centers + text_projection MLP, per-concept
+CosSim classifier (concept_reg). Options kept: nregs registers, learnable
+center fallback, mean ensemble, use_before_projection switch, optional
+attention-map output for the diversity loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig, ClipVisionTower
+from concepthash_tpu.models.layers import CodeBatchNorm, CosSim, MLP
+
+
+@dataclasses.dataclass(frozen=True)
+class ConceptHashConfig:
+    nbit: int = 64
+    nclass: int = 200
+    ncontext: int = 4                  # M concept tokens
+    nregs: int = 0                     # extra register tokens (ignored by head)
+    num_heads: int = 8                 # hash-query self-attention heads
+    dropout: float = 0.1
+    add_bn: bool = True
+    use_before_projection: bool = True  # sub-codes from 768-d tokens (pre proj)
+    hash_pe: bool = True
+    ensemble_method: str = "concat"    # 'concat' | 'avg'
+    concept_reg: bool = True
+    concept_cossim: bool = True
+    learnable_center: bool = False     # True -> no text codebook, learn centers
+    text_projection_dims: tuple = (512, 512)  # hidden dims; final = nbit
+    center_dim: int = 512              # language-embedding width
+
+
+class HashQueryBlock(nn.Module):
+    """One self-attention block refining the M+nregs hash queries, then a
+    projection into the vision width (reference models/arch/coop.py:349-427,
+    v1 forward: x = norm1(x) + sa(x); x = norm2(x) + ffn(x); x = ffn2(x))."""
+
+    embed_dim: int
+    vision_dim: int
+    num_heads: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.dropout, deterministic=not train, name="sa")(x, x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x) + attn
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_fc2")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x) + h
+        return nn.Dense(self.vision_dim, dtype=self.dtype, name="ffn2")(x)
+
+
+class ConceptHash(nn.Module):
+    vision_cfg: ClipVisionConfig
+    cfg: ConceptHashConfig
+    adapters: Optional[AdapterConfig] = AdapterConfig()
+    fixed_center: Optional[jnp.ndarray] = None  # (nclass, center_dim) text embeds
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, images, train: bool = False,
+                 output_attentions: bool = False):
+        c = self.cfg
+        vc = self.vision_cfg
+        B = images.shape[0]
+        M = c.ncontext
+        embed_dim = vc.projection_dim
+
+        # ---- concept (hash) queries -> vision-width context tokens ----
+        queries = self.param("hash_queries", nn.initializers.normal(1.0),
+                             (1, M + c.nregs, embed_dim), jnp.float32)
+        ctx = HashQueryBlock(embed_dim, vc.hidden_size, c.num_heads, c.dropout,
+                             self.dtype, name="hash_attention")(
+            queries.astype(self.dtype), train)
+        ctx = jnp.broadcast_to(ctx, (B, M + c.nregs, vc.hidden_size))
+
+        # ---- CLIP encoder over [cls; patches; concepts] ----
+        backbone = ClipVisionTower(vc, adapters=self.adapters, dtype=self.dtype,
+                                   name="backbone")
+        enc = backbone(images, extra_tokens=ctx,
+                       output_attentions=output_attentions)
+        last = enc["last_hidden_state"]
+        concept_tokens = (last[:, -(M + c.nregs):-c.nregs, :] if c.nregs
+                          else last[:, -M:, :])  # (B, M, D)
+
+        if not c.use_before_projection:
+            concept_tokens = backbone.post_project(concept_tokens)
+
+        # ---- per-concept sub-codes ----
+        feat_dim = concept_tokens.shape[-1]
+        if c.hash_pe:
+            pe = self.param("hash_pe", nn.initializers.normal(1.0),
+                            (1, M, feat_dim), jnp.float32)
+            hash_in = concept_tokens + pe.astype(self.dtype)
+        else:
+            hash_in = concept_tokens
+        sub_dim = c.nbit // M if c.ensemble_method == "concat" else c.nbit
+        sub_codes = nn.Dense(sub_dim, use_bias=False, dtype=self.dtype,
+                             name="hash_fc")(hash_in)  # (B, M, sub)
+        if c.ensemble_method == "concat":
+            codes = sub_codes.reshape(B, c.nbit)
+        else:
+            codes = sub_codes.mean(axis=1)
+        if c.add_bn:
+            codes = CodeBatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                                  name="hash_bn")(codes, train)
+        codes = codes.astype(jnp.float32)
+
+        # ---- language-guided centers ----
+        if c.learnable_center:
+            center = self.param("center", nn.initializers.normal(0.02),
+                                (c.nclass, c.nbit), jnp.float32)
+        else:
+            init = (lambda *_: jnp.asarray(self.fixed_center, jnp.float32)) \
+                if self.fixed_center is not None else nn.initializers.normal(1.0)
+            raw = self.variable("constants", "center", init,
+                                (c.nclass, c.center_dim), jnp.float32).value
+            center = MLP((*c.text_projection_dims, c.nbit), dtype=self.dtype,
+                         name="text_projection")(raw.astype(self.dtype))
+            center = center.astype(jnp.float32)
+
+        codes_n = codes / (jnp.linalg.norm(codes, axis=-1, keepdims=True) + 1e-12)
+        center_n = center / (jnp.linalg.norm(center, axis=-1, keepdims=True) + 1e-12)
+        cont_logits = jnp.dot(codes_n, center_n.T, preferred_element_type=jnp.float32)
+        bin_logits = jnp.dot(codes_n, (jnp.sign(center_n) / (c.nbit ** 0.5)).T,
+                             preferred_element_type=jnp.float32)
+
+        outputs = {
+            "logits_cont": cont_logits,
+            "logits_bin": bin_logits,
+            "codes": codes,
+            "hash_features": concept_tokens,
+        }
+        if c.ensemble_method == "avg":
+            outputs["ensemble_codes"] = sub_codes
+
+        # ---- per-concept classifier (concept_reg) ----
+        if c.concept_reg:
+            cpe = self.param("concept_pe",
+                             lambda k, s, d: 0.02 * jax.random.normal(k, s, d),
+                             (1, M, feat_dim), jnp.float32)
+            feats = concept_tokens + cpe.astype(self.dtype)  # (B, M, D)
+            if c.concept_cossim:
+                clf = CosSim(feat_dim, c.nclass, dtype=self.dtype, name="concept_ce")
+            else:
+                clf = nn.Dense(c.nclass, use_bias=False, dtype=self.dtype,
+                               name="concept_ce")
+            logits_concept = clf(feats.reshape(B * M, feat_dim))
+            outputs["logits_concept"] = (
+                logits_concept.reshape(B, M, c.nclass).transpose(1, 0, 2))  # (M,B,C)
+
+        if output_attentions:
+            outputs["attn_cache"] = enc["attentions"]
+        return outputs

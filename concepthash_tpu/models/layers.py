@@ -1,0 +1,96 @@
+"""Shared model layers: cosine classifier, sign straight-through estimator,
+code batch-norm (cross-replica), small MLP builder.
+
+Re-designs of reference models/layers/{cossim.py, signhash.py} and the
+BatchNorm1d-on-codes pattern (reference models/arch/coop.py:341-347,
+models/arch/orthohash.py:30-34). BatchNorm batch statistics are synchronized
+across the 'data' mesh axis with a psum (axis_name), which the single-GPU
+reference never needed but data-parallel TPU training does (SURVEY.md §7
+hard-part 2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class CosSim(nn.Module):
+    """Cosine-similarity classifier: normalize(x) @ normalize(centroids)^T.
+
+    ``codebook``: optional fixed (nclass, nfeat) centroids; ``learn_cent``
+    False registers them as a constant instead of a parameter
+    (reference models/layers/cossim.py:6-82, group/single_quan paths omitted —
+    unused by the runnable configs, SURVEY.md §2.4).
+    """
+
+    nfeat: int
+    nclass: int
+    codebook: Optional[jnp.ndarray] = None
+    learn_cent: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sign_centroids: bool = False):
+        if self.codebook is not None:
+            init = lambda *_: jnp.asarray(self.codebook, jnp.float32)
+        else:
+            init = nn.initializers.normal(1.0)
+        if self.learn_cent:
+            cent = self.param("centroids", init, (self.nclass, self.nfeat), jnp.float32)
+        else:
+            cent = self.variable("constants", "centroids", init,
+                                 (self.nclass, self.nfeat), jnp.float32).value
+        cent = cent.astype(self.dtype)
+        if sign_centroids:
+            cent = jnp.sign(cent)
+        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
+        return jnp.dot(xn, cn.T, preferred_element_type=jnp.float32)
+
+
+def sign_ste(x):
+    """sign() forward, identity backward (straight-through estimator;
+    reference models/layers/signhash.py:6-24)."""
+    return x + jax.lax.stop_gradient(jnp.sign(x) - x)
+
+
+class CodeBatchNorm(nn.Module):
+    """BatchNorm over hash codes, torch-BatchNorm1d-compatible semantics
+    (momentum 0.1 torch == 0.9 flax), stats psum'd over the data axis when
+    running under shard_map/pjit with axis_name present."""
+
+    momentum: float = 0.9
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
+
+
+class MLP(nn.Module):
+    """Dense stack, e.g. the text_projection 512->512->nbit of the canonical
+    ConceptHash config (reference configs/model/concept_hash_final_v1_nosa_apt.yaml:38-47)."""
+
+    features: tuple
+    final_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features[:-1]):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.features[-1], use_bias=self.final_bias,
+                        dtype=self.dtype, name=f"fc{len(self.features) - 1}")(x)

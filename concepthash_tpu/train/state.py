@@ -1,0 +1,144 @@
+"""Train state pytree + mesh-aware step builders.
+
+The reference's mutable trainer objects (trainers/base.py) become a single
+immutable pytree stepped by pure jitted functions. Data parallelism is pjit
+over a ``Mesh(('data',))``: the batch is sharded on 'data', params/state are
+replicated, and XLA inserts the gradient all-reduce (SURVEY.md §5.8 —
+training is deliberately pure DP; a ViT-B needs no TP/PP).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+    rng: jax.Array
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        if self.constants:
+            v["constants"] = self.constants
+        return v
+
+
+def create_train_state(model, tx, sample_batch, rng,
+                       init_train: bool = True) -> TrainState:
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    variables = model.init(init_rngs, sample_batch, train=init_train)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}),
+        opt_state=tx.init(params),
+        rng=jax.random.fold_in(rng, 2),
+    )
+
+
+def data_parallel_shardings(mesh: Optional[Mesh]):
+    """(replicated, batch-sharded) NamedShardings; (None, None) off-mesh."""
+    if mesh is None:
+        return None, None
+    return (NamedSharding(mesh, P()), NamedSharding(mesh, P("data")))
+
+
+def make_train_step(model, loss_fn: Callable, tx,
+                    mesh: Optional[Mesh] = None,
+                    output_attentions: bool = False,
+                    donate: bool = True):
+    """loss_fn(outputs, batch) -> (total, parts_dict).
+
+    Returns step(state, batch) -> (state, metrics); batch is a dict with at
+    least image (B,H,W,C) f32 and label (B,C) one-hot f32.
+    """
+
+    def step_fn(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def compute(params):
+            vars_in = {"params": params}
+            if state.batch_stats:
+                vars_in["batch_stats"] = state.batch_stats
+            if state.constants:
+                vars_in["constants"] = state.constants
+            out, mutated = model.apply(
+                vars_in, batch["image"], train=True,
+                output_attentions=output_attentions,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            total, parts = loss_fn(out, batch)
+            return total, (parts, mutated.get("batch_stats", state.batch_stats), out)
+
+        (total, (parts, new_bs, out)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = {"loss": total, **parts, **accuracy_metrics(out, batch["label"])}
+        return new_state, metrics
+
+    repl, shard = data_parallel_shardings(mesh)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, shard),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, loss_fn: Optional[Callable] = None,
+                   mesh: Optional[Mesh] = None, codes_key: str = "codes"):
+    """eval step: forward in inference mode, returns (codes, metrics)."""
+
+    def step_fn(state: TrainState, batch: dict):
+        out = model.apply(state.variables(), batch["image"], train=False)
+        metrics = {}
+        if loss_fn is not None:
+            total, parts = loss_fn(out, batch)
+            metrics = {"loss": total, **parts,
+                       **accuracy_metrics(out, batch["label"])}
+        codes = {k: v for k, v in out.items() if codes_key in k and v.ndim == 2}
+        return codes, metrics
+
+    repl, shard = data_parallel_shardings(mesh)
+    if mesh is None:
+        return jax.jit(step_fn)
+    return jax.jit(step_fn, in_shardings=(repl, shard),
+                   out_shardings=(shard, repl))
+
+
+def accuracy_metrics(outputs: dict, onehot) -> dict:
+    """Top-1 accuracy for every '*logits*' output; 3-D (Q,B,C) logits are
+    concept-averaged first (reference trainers/coop.py:137-148)."""
+    y = jnp.argmax(onehot, axis=-1)
+    metrics = {}
+    for key, val in outputs.items():
+        if "logits" not in key or not hasattr(val, "ndim"):
+            continue
+        if val.ndim == 3:
+            pred = val.mean(axis=0).argmax(axis=-1)
+        elif val.ndim == 2:
+            pred = val.argmax(axis=-1)
+        else:
+            continue
+        name = "acc" if key == "logits" else f"acc_{key.split('_', 1)[1]}"
+        metrics[name] = (pred == y).mean()
+    return metrics

@@ -1,0 +1,149 @@
+"""ConceptHash model + LGH loss: shapes, loss-formula parity with the
+reference's torch math, gradient flow."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
+from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
+from concepthash_tpu.losses.concepthash import attention_diversity, lgh_loss
+
+
+VCFG = ClipVisionConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                        num_heads=4, image_size=32, patch_size=8,
+                        projection_dim=48)
+CCFG = ConceptHashConfig(nbit=16, nclass=5, ncontext=4, num_heads=4,
+                         center_dim=48, text_projection_dims=(48,))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    center = np.random.default_rng(0).standard_normal((5, 48)).astype(np.float32)
+    model = ConceptHash(VCFG, CCFG, adapters=AdapterConfig(bottleneck_dim=16),
+                        fixed_center=jnp.asarray(center))
+    imgs = jnp.zeros((4, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, imgs, train=True)
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    imgs = jnp.asarray(np.random.default_rng(1).standard_normal((4, 32, 32, 3)),
+                       jnp.float32)
+    out = model.apply(variables, imgs, train=False)
+    assert out["codes"].shape == (4, 16)
+    assert out["logits_cont"].shape == (4, 5)
+    assert out["logits_bin"].shape == (4, 5)
+    assert out["logits_concept"].shape == (4, 4, 5)  # (Q, B, C)
+    assert out["hash_features"].shape == (4, 4, 64)
+    # cosine logits bounded
+    assert float(jnp.abs(out["logits_cont"]).max()) <= 1.0 + 1e-5
+
+
+def test_train_mode_updates_batch_stats(model_and_vars):
+    model, variables = model_and_vars
+    imgs = jnp.asarray(np.random.default_rng(2).standard_normal((4, 32, 32, 3)),
+                       jnp.float32)
+    out, mutated = model.apply(variables, imgs, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(2)},
+                               mutable=["batch_stats"])
+    before = variables["batch_stats"]["hash_bn"]["bn"]["mean"]
+    after = mutated["batch_stats"]["hash_bn"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_lgh_loss_matches_torch_reference(rng):
+    """Margin-CE parity with the reference formula (models/loss/coop.py:46-87)
+    computed in torch."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    B, C, Q, nbit = 6, 5, 4, 16
+    cont = rng.uniform(-1, 1, (B, C)).astype(np.float32)
+    binl = rng.uniform(-1, 1, (B, C)).astype(np.float32)
+    conc = rng.uniform(-1, 1, (Q, B, C)).astype(np.float32)
+    codes = rng.standard_normal((B, nbit)).astype(np.float32)
+    y = rng.integers(0, C, B)
+    onehot = np.eye(C, dtype=np.float32)[y]
+    margin, scale = 0.2, 8.0
+
+    outputs = {"codes": jnp.asarray(codes), "logits_cont": jnp.asarray(cont),
+               "logits_bin": jnp.asarray(binl), "logits_concept": jnp.asarray(conc)}
+    total, parts = lgh_loss(outputs, jnp.asarray(onehot), margin=margin,
+                            scale=scale, ncontext=Q)
+
+    # torch reference math
+    ty = torch.from_numpy(y)
+    def t_margin_ce(logits):
+        t = torch.from_numpy(logits)
+        y1h = torch.zeros_like(t).scatter_(-1, ty[:, None], margin)
+        return F.cross_entropy(scale * (t - y1h), ty)
+
+    t_cont = t_margin_ce(cont)
+    t_bin = t_margin_ce(binl)
+    tc = torch.from_numpy(conc)
+    y1h = torch.zeros_like(tc).scatter_(-1, ty[None, :, None].expand(Q, B, 1), margin)
+    t_conc = F.cross_entropy((scale * (tc - y1h)).reshape(Q * B, C),
+                             ty[None].expand(Q, B).reshape(-1))
+    tcodes = torch.from_numpy(codes)
+    t_quan = (1 - F.cosine_similarity(tcodes, tcodes.sign(), dim=-1)).mean()
+
+    assert float(parts["cont"]) == pytest.approx(float(t_cont), abs=1e-5)
+    assert float(parts["bin"]) == pytest.approx(float(t_bin), abs=1e-5)
+    assert float(parts["concept"]) == pytest.approx(float(t_conc), abs=1e-5)
+    assert float(parts["quan"]) == pytest.approx(float(t_quan), abs=1e-5)
+    expected_total = float(t_cont) + float(t_bin) + float(t_conc)
+    assert float(total) == pytest.approx(expected_total, abs=1e-4)
+
+
+def test_loss_gradient_reaches_trainable_params(model_and_vars):
+    model, variables = model_and_vars
+    imgs = jnp.asarray(np.random.default_rng(3).standard_normal((4, 32, 32, 3)),
+                       jnp.float32)
+    onehot = jnp.eye(5)[jnp.array([0, 1, 2, 3])]
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"],
+             "constants": variables["constants"]},
+            imgs, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        total, _ = lgh_loss(out, onehot, ncontext=4)
+        return total
+
+    g = jax.grad(loss_fn)(variables["params"])
+    for path in [("hash_queries",), ("hash_pe",), ("hash_fc", "kernel"),
+                 ("text_projection", "fc0", "kernel"),
+                 ("concept_ce", "centroids"),
+                 ("backbone", "layers_0", "adapter_mlp", "up", "kernel")]:
+        node = g
+        for k in path:
+            node = node[k]
+        assert float(jnp.abs(node).sum()) > 0, f"no gradient at {path}"
+
+
+def test_attention_diversity(rng):
+    # identical attention maps across concepts -> diversity cos = 1
+    B, H, M, P = 2, 3, 4, 9
+    L = 1 + P + M
+    one_map = rng.uniform(0, 1, (B, H, 1, L)).astype(np.float32)
+    attn = np.broadcast_to(one_map, (B, H, L, L)).copy()
+    div = attention_diversity((jnp.asarray(attn),), ncontext=M)
+    assert float(div) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_avg_ensemble_and_learnable_center():
+    ccfg = ConceptHashConfig(nbit=16, nclass=5, ncontext=4, num_heads=4,
+                             ensemble_method="avg", learnable_center=True,
+                             concept_reg=False, center_dim=48)
+    model = ConceptHash(VCFG, ccfg, adapters=None)
+    imgs = jnp.zeros((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, imgs, train=True)
+    out = model.apply(variables, imgs, train=False)
+    assert out["codes"].shape == (2, 16)
+    assert out["ensemble_codes"].shape == (2, 4, 16)
+    assert "center" in variables["params"]  # learnable
