@@ -1,0 +1,150 @@
+"""Host input pipeline: decode workers + prefetch, static-shape batches.
+
+Replaces the reference's fork()ed torch DataLoader workers (engine.py:41-54,
+capped at 16 by main_v2.py:57) with a thread pool (decode releases the GIL in
+PIL) and a bounded prefetch queue, feeding uint8 arrays that the fused device
+preprocessing consumes (preprocess.py). Per-host sharding for multi-process
+TPU topologies: each process reads its contiguous slice (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from concepthash_tpu.data.manifest import HashingDataset
+from concepthash_tpu.data.preprocess import load_image_host
+
+default_workers = 8
+
+
+class ImageSource:
+    """Decoded-image access with an optional whole-dataset RAM cache
+    (fine-grained galleries are small: CUB 5,994 images ~1.2 GB at 256²)."""
+
+    def __init__(self, dataset: HashingDataset, resize: int = 256,
+                 cache: bool = False, workers: int = 0):
+        self.dataset = dataset
+        self.resize = resize
+        self.workers = workers or default_workers
+        self._cache = None
+        if cache:
+            self._cache = [None] * len(dataset)
+
+    def get(self, i: int) -> np.ndarray:
+        if self._cache is not None and self._cache[i] is not None:
+            return self._cache[i]
+        img = load_image_host(self.dataset.image_path(i), self.resize)
+        if self._cache is not None:
+            self._cache[i] = img
+        return img
+
+    def get_many(self, idxs) -> np.ndarray:
+        if self.workers > 1 and len(idxs) > 1:
+            with ThreadPoolExecutor(self.workers) as ex:
+                imgs = list(ex.map(self.get, idxs))
+        else:
+            imgs = [self.get(i) for i in idxs]
+        return np.stack(imgs)
+
+
+class Loader:
+    """Batched iterator with background prefetch.
+
+    Yields dicts {image: uint8 (B,S,S,3), label: f32 onehot (B,C),
+    index: int32 (B,), n_valid: int} — fixed B (last batch padded; ``n_valid``
+    marks real rows, SURVEY.md §7 hard-part 6). drop_last mirrors the
+    reference train loader (trainers/coop.py:39)."""
+
+    def __init__(self, dataset: HashingDataset, batch_size: int,
+                 resize: int = 256, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0, cache: bool = False,
+                 workers: int = 0, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.source = ImageSource(dataset, resize, cache=cache, workers=workers)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.onehot = dataset.onehot_labels()
+        # per-host shard
+        n = len(dataset)
+        shard = np.arange(process_index, n, process_count)
+        self.indices = shard
+
+    def __len__(self):
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idxs = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idxs)
+        return idxs
+
+    def __iter__(self) -> Iterator[dict]:
+        idxs = self._epoch_indices()
+        self.epoch += 1
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+                    images = self.source.get_many(sel)
+                    labels = self.onehot[sel]
+                    n_valid = len(sel)
+                    if n_valid < self.batch_size:  # pad to static shape
+                        pad = self.batch_size - n_valid
+                        images = np.concatenate(
+                            [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+                        labels = np.concatenate(
+                            [labels, np.zeros((pad, labels.shape[1]), labels.dtype)])
+                        sel = np.concatenate([sel, np.full(pad, -1)])
+                    q.put({"image": images, "label": labels,
+                           "index": sel.astype(np.int32), "n_valid": n_valid})
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def dataloader(dataset: HashingDataset, batch_size: int, shuffle: bool = False,
+               drop_last: bool = False, **kw) -> Loader:
+    """engine.dataloader signature parity (reference engine.py:41-54)."""
+    return Loader(dataset, batch_size, shuffle=shuffle, drop_last=drop_last, **kw)
+
+
+def seeding(seed: int):
+    """engine.seeding parity (reference engine.py:57-61): seeds numpy/python;
+    JAX randomness is explicit PRNG keys derived from config.seed."""
+    import random
+
+    np.random.seed(seed)
+    random.seed(seed)

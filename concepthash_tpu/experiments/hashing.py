@@ -1,0 +1,589 @@
+"""Experiment drivers: train+retrieve, train-only, eval-only.
+
+JAX redesign of reference experiments/{train_helper,train_no_eval,
+test_hashing}.py — same run-dir artifacts (config.yaml, models/{best,last},
+{train,test}_history.json, outputs/ code dumps), same epoch/eval_interval/
+best-tracking/resume semantics, but the method logic is a registry entry and
+every hot path is a jitted pure function over a device mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from concepthash_tpu.config.loader import save_config
+from concepthash_tpu.data.manifest import HashingDataset
+from concepthash_tpu.data.pipeline import Loader, seeding
+from concepthash_tpu.data.preprocess import preprocess_batch
+from concepthash_tpu.methods import Method, get_method, prepare_codebook
+from concepthash_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from concepthash_tpu.ops.retrieval import calculate_mAP, calculate_pr_curve
+from concepthash_tpu.train.optim import build_optimizer, current_lr
+from concepthash_tpu.train.state import create_train_state, make_eval_step, make_train_step
+from concepthash_tpu.utils import io
+from concepthash_tpu.utils.logger import HistoryWriter, setup_logging
+from concepthash_tpu.utils.machine_stats import print_stats
+from concepthash_tpu.utils.meters import MeterBank
+
+_AUGMENT_BY_TRANSFORM = {
+    "trivialaugment": "trivial",
+    "simple": "rrc",
+    "randcrop": "randcrop",
+    "test": None,
+    "no_augmentation": None,
+    None: "trivial",
+}
+
+
+def offline_text_embedder(class_names, dim: int = 512):
+    """Deterministic per-class pseudo-embeddings for zero-egress environments
+    (real language guidance needs the CLIP text checkpoint; loudly logged)."""
+    logging.warning("CLIP text checkpoint unreachable — codebook falls back to "
+                    "deterministic pseudo-embeddings (no language guidance)")
+    out = [np.random.default_rng(zlib.crc32(n.encode())).standard_normal(dim)
+           for n in class_names]
+    return np.stack(out).astype(np.float32)
+
+
+class RetrievalExperiment:
+    """Train + periodic retrieval eval (reference RetrievalExperiment,
+    experiments/train_helper.py:47-304)."""
+
+    eval_metric = "mAP"
+    higher_is_better = True
+
+    def __init__(self, config: dict):
+        self.config = config
+        self.logdir = config["logdir"]
+        os.makedirs(self.logdir, exist_ok=True)
+        io.init_save_queue()
+        setup_logging(os.path.join(self.logdir, "log.txt"))
+        seeding(int(config.get("seed", 42)))
+        print_stats()
+        save_config(config, os.path.join(self.logdir, "config.yaml"))
+
+        self.method: Method = get_method(config["model"]["name"])
+        self.multiclass = bool(config.get("dataset", {}).get("multiclass", False))
+
+        self._load_data()
+        self._build_method()
+        self.train_history = HistoryWriter(self.logdir, "train")
+        self.test_history = HistoryWriter(self.logdir, "test")
+        self.best_metric = None
+        self.start_epoch = 0
+        if config.get("resume_logdir"):
+            self.resume_training(config["resume_logdir"])
+
+    # ------------------------------------------------------------------ data
+    def _load_data(self):
+        cfg = self.config
+        ds = cfg["dataset"]
+        root = os.path.join(cfg.get("data_dir", "."), ds["data_folder"])
+        nclass = int(ds["nclass"])
+        shots = int(ds.get("num_shots", 0) or 0)
+        self.datasets = {
+            "train": HashingDataset(root, "train.txt", nclass, num_shots=shots),
+            "test": HashingDataset(root, "test.txt", nclass),
+            "db": HashingDataset(root, "database.txt", nclass),
+        }
+        for k, v in self.datasets.items():
+            logging.info("%s dataset: %d items", k, len(v))
+
+        bs = int(cfg.get("batch_size", 64))
+        self.mesh = make_mesh()
+        ndev = self.mesh.devices.size
+        if bs % ndev != 0:
+            # shrink the mesh to the largest divisor so static batches shard
+            div = max(d for d in range(1, ndev + 1) if bs % d == 0)
+            logging.warning("batch_size %d not divisible by %d devices; "
+                            "using %d-device mesh", bs, ndev, div)
+            self.mesh = make_mesh(div)
+
+        resize = int(ds.get("resize", 256))
+        cache = bool(cfg.get("cache_images", len(self.datasets["train"]) < 20000))
+        seed = int(cfg.get("seed", 42))
+        self.loaders = {
+            "train": Loader(self.datasets["train"], bs, resize=resize,
+                            shuffle=True, drop_last=True, seed=seed, cache=cache),
+            "test": Loader(self.datasets["test"], bs, resize=resize, cache=cache),
+            "db": Loader(self.datasets["db"], bs, resize=resize, cache=cache),
+        }
+        self.crop = int(ds.get("crop", 224))
+        self.norm = int(ds.get("norm", 2))
+        tname = (cfg.get("_choices_", {}) or {}).get("transforms") or \
+            cfg.get("transforms_name")
+        self.augment = _AUGMENT_BY_TRANSFORM.get(tname, "trivial")
+        logging.info("transforms: %s -> augment=%s norm=%d crop=%d",
+                     tname, self.augment, self.norm, self.crop)
+
+    # ---------------------------------------------------------------- method
+    def _build_method(self):
+        cfg = self.config
+        try:
+            self.codebook = prepare_codebook(self.method, cfg, self.logdir)
+        except Exception as e:
+            logging.warning("codebook stage failed (%s); offline fallback", e)
+            from concepthash_tpu.data.manifest import read_class_names
+
+            root = os.path.join(cfg.get("data_dir", "."),
+                                cfg["dataset"]["data_folder"])
+            names = read_class_names(root)
+            self.codebook = prepare_codebook(
+                self.method, cfg, self.logdir,
+                text_embedder=lambda n: offline_text_embedder(n))
+        self.model = self.method.build_model(cfg, self.codebook)
+        self.loss_fn = self.method.build_loss(cfg, self.codebook)
+
+        epochs = int(cfg.get("epochs", 100))
+        steps_per_epoch = max(len(self.loaders["train"]), 1)
+        bs = int(cfg.get("batch_size", 64))
+        sample = jnp.zeros((bs, self.crop, self.crop, 3), jnp.float32)
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        init_params = self.model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            sample, train=True)["params"]
+
+        from concepthash_tpu.models.backbone_factory import maybe_load_pretrained_vision
+
+        # codebook-before-model, pretrained overlay after init (explicit stage)
+        loaded = maybe_load_pretrained_vision(cfg.get("backbone", {}) or {},
+                                              init_params)
+
+        self.tx = build_optimizer(
+            cfg.get("optim", {}) or {}, cfg.get("scheduler", {}) or {},
+            epochs, steps_per_epoch, init_params,
+            backbone_lr_scale=float(cfg.get("backbone_lr_scale", 1.0)))
+        self.state = create_train_state(self.model, self.tx, sample, rng)
+        if loaded is not init_params:
+            self.state = self.state.replace(params=loaded)
+        self.state = replicate(self.state, self.mesh)
+
+        out_attn = self.method.needs_attentions(cfg)
+
+        def train_pp(images, prng):
+            return preprocess_batch(images, prng, crop=self.crop,
+                                    norm=self.norm, train=True,
+                                    augment=self.augment)
+
+        def eval_pp(images, _rng):
+            return preprocess_batch(images, jax.random.PRNGKey(0),
+                                    crop=self.crop, norm=self.norm, train=False)
+
+        if self.method.regime == "sgd":
+            self.train_step = make_train_step(
+                self.model, self.loss_fn, self.tx, mesh=self.mesh,
+                output_attentions=out_attn, preprocess_fn=train_pp)
+        self.eval_step = make_eval_step(self.model, self.loss_fn,
+                                        mesh=self.mesh, preprocess_fn=eval_pp)
+        self.epochs = epochs
+        self.steps_per_epoch = steps_per_epoch
+
+    # ------------------------------------------------------------------ train
+    def train_one_epoch(self, ep: int) -> dict:
+        meters = MeterBank()
+        t0 = time.time()
+        for batch in self.loaders["train"]:
+            n = batch.pop("n_valid")
+            self.state, metrics = self.train_step(self.state,
+                                                  shard_batch(batch, self.mesh))
+            meters.update_device(metrics, n)
+        res = meters.materialize()
+        res["time"] = time.time() - t0
+        res["lr"] = current_lr(self.config.get("optim", {}) or {},
+                               self.config.get("scheduler", {}) or {},
+                               self.epochs, self.steps_per_epoch,
+                               int(jax.device_get(self.state.step)))
+        return res
+
+    # ------------------------------------------------------------------- eval
+    def encode_split(self, split: str):
+        """Encode a split; returns ({codes_key: (N, nbit)}, labels, meters)."""
+        all_codes: dict[str, list] = {}
+        labels = []
+        meters = MeterBank()
+        bs = int(self.config.get("batch_size", 64))
+        for batch in self.loaders[split]:
+            n = batch.pop("n_valid")
+            codes, metrics = self.eval_step(self.state,
+                                            shard_batch(batch, self.mesh))
+            if n == bs and metrics:
+                meters.update_device(metrics, n)
+            for k, v in codes.items():
+                all_codes.setdefault(k, []).append(np.asarray(v)[:n])
+            labels.append(batch["label"][:n])
+        return ({k: np.concatenate(v) for k, v in all_codes.items()},
+                np.concatenate(labels), meters.materialize())
+
+    def evaluation(self, ep: int) -> dict:
+        cfg = self.config
+        test_codes, test_labels, test_meters = self.encode_split("test")
+        db_codes, db_labels, _ = self.encode_split("db")
+        res = {"ep": ep, **{f"test_{k}": v for k, v in test_meters.items()}}
+        for key in test_codes:
+            postfix = "" if key == "codes" else "_" + key.split("_", 1)[0]
+            mAP, recalls, precisions = calculate_mAP(
+                db_codes[key], db_labels, test_codes[key], test_labels,
+                R=cfg.get("dataset", {}).get("R", -1),
+                dist_metric=cfg.get("dist_metric", "hamming"),
+                PRs=tuple(cfg.get("PRs", (1, 5, 10))),
+                zero_mean=bool(cfg.get("zero_mean_eval", False)))
+            res["mAP" + postfix] = mAP
+            res["recalls" + postfix] = recalls
+            res["precisions" + postfix] = precisions
+        logging.info("ep %d eval: mAP=%s", ep, res.get("mAP"))
+        return res, (test_codes, test_labels, db_codes, db_labels)
+
+    # ------------------------------------------------------------- checkpoint
+    def model_state_blob(self, ep: int) -> dict:
+        s = jax.device_get(self.state)
+        return {"params": s.params, "batch_stats": s.batch_stats,
+                "constants": s.constants, "epoch": ep}
+
+    def save_model(self, name: str, ep: int):
+        io.fast_save(self.model_state_blob(ep),
+                     os.path.join(self.logdir, "models", f"{name}.msgpack"))
+        if self.config.get("save_training_state", False):
+            s = jax.device_get(self.state)
+            io.fast_save({"opt_state": s.opt_state, "step": s.step,
+                          "rng": s.rng, "epoch": ep},
+                         os.path.join(self.logdir, "optims", f"{name}.msgpack"))
+
+    def load_model_state(self, path: str):
+        blob = io.load_checkpoint(path)
+        s = jax.device_get(self.state)
+        self.state = self.state.replace(
+            params=_restore_like(s.params, blob["params"]),
+            batch_stats=_restore_like(s.batch_stats, blob.get("batch_stats", {})),
+            constants=_restore_like(s.constants, blob.get("constants", {})))
+        self.state = replicate(self.state, self.mesh)
+        return int(blob.get("epoch", 0))
+
+    def resume_training(self, resume_logdir: str):
+        last = os.path.join(resume_logdir, "models", "last.msgpack")
+        if not os.path.exists(last):
+            logging.warning("resume requested but %s missing", last)
+            return
+        ep = self.load_model_state(last)
+        opt = os.path.join(resume_logdir, "optims", "last.msgpack")
+        if os.path.exists(opt):
+            blob = io.load_checkpoint(opt)
+            s = jax.device_get(self.state)
+            self.state = self.state.replace(
+                opt_state=_restore_like(s.opt_state, blob["opt_state"]),
+                step=jnp.asarray(blob["step"]), rng=jnp.asarray(blob["rng"]))
+            self.state = replicate(self.state, self.mesh)
+        for h in (self.train_history, self.test_history):
+            src = os.path.join(resume_logdir, os.path.basename(h.path))
+            if os.path.exists(src):
+                import json
+
+                with open(src) as f:
+                    h.history = json.load(f)
+        self.start_epoch = ep + 1
+        ms = [r.get(self.eval_metric) for r in self.test_history.history
+              if r.get(self.eval_metric) is not None]
+        self.best_metric = max(ms) if ms else None
+        logging.info("resumed from %s at epoch %d", resume_logdir, self.start_epoch)
+
+    # ------------------------------------------------------------------- main
+    def main(self):
+        if self.method.regime == "shallow":
+            return self._main_shallow()
+        if self.method.regime == "adsh":
+            return self._main_adsh()
+        cfg = self.config
+        eval_interval = int(cfg.get("eval_interval", 10))
+        save_interval = int(cfg.get("save_interval", 0))
+        for ep in range(self.start_epoch, self.epochs):
+            train_res = self.train_one_epoch(ep)
+            self.train_history.append({"ep": ep, **train_res})
+            logging.info("ep %d train: loss=%.4f (%.1fs, lr %.2e)", ep,
+                         train_res.get("loss", float("nan")),
+                         train_res["time"], train_res["lr"])
+            is_last = ep == self.epochs - 1
+            if is_last or (eval_interval > 0 and (ep + 1) % eval_interval == 0):
+                res, dumps = self.evaluation(ep)
+                self.test_history.append(res)
+                metric = res.get(self.eval_metric)
+                better = (self.best_metric is None or
+                          (metric > self.best_metric if self.higher_is_better
+                           else metric < self.best_metric))
+                if metric is not None and better:
+                    self.best_metric = metric
+                    self.save_model("best", ep)
+                    self._dump_codes(dumps)
+            self.save_model("last", ep)
+            if save_interval and (ep + 1) % save_interval == 0:
+                self.save_model(f"ep{ep + 1}", ep)
+        io.join_save_queue()
+        logging.info("done: best %s = %s", self.eval_metric, self.best_metric)
+        return self.best_metric
+
+    def _dump_codes(self, dumps):
+        test_codes, test_labels, db_codes, db_labels = dumps
+        io.fast_save({"codes": test_codes["codes"], "labels": test_labels},
+                     os.path.join(self.logdir, "outputs", "test_best.msgpack"))
+        io.fast_save({"codes": db_codes["codes"], "labels": db_labels},
+                     os.path.join(self.logdir, "outputs", "db_best.msgpack"))
+
+    # -------------------------------------------------------- shallow regime
+    def _main_shallow(self):
+        """One-pass fit (reference trainers/shallow.py:104-121): extract
+        features, fit ITQ/PCA/LSH/SH, encode, score."""
+        from concepthash_tpu.losses.shallow import FITTERS, encode_shallow
+
+        name = self.config["model"]["name"]
+        feats, labels, _ = self.encode_split("train")
+        fit_kwargs = dict(self.config.get("criterion", {}) or {})
+        fit_kwargs.pop("name", None)
+        fit_state = FITTERS[name](feats["codes"], int(self.config["model"]["nbit"]),
+                                  **fit_kwargs)
+        io.fast_save({"criterion": fit_state, "epoch": 0},
+                     os.path.join(self.logdir, "models", "best.msgpack"))
+        test_feats, test_labels, _ = self.encode_split("test")
+        db_feats, db_labels, _ = self.encode_split("db")
+        test_codes = encode_shallow(fit_state, test_feats["codes"])
+        db_codes = encode_shallow(fit_state, db_feats["codes"])
+        mAP, recalls, precisions = calculate_mAP(
+            db_codes, db_labels, test_codes, test_labels,
+            R=self.config.get("dataset", {}).get("R", -1),
+            PRs=tuple(self.config.get("PRs", (1, 5, 10))))
+        res = {"ep": 0, "mAP": mAP, "recalls": recalls, "precisions": precisions}
+        self.test_history.append(res)
+        self.best_metric = mAP
+        io.join_save_queue()
+        logging.info("shallow %s: mAP=%.4f", name, mAP)
+        return mAP
+
+    # ----------------------------------------------------------- adsh regime
+    def _main_adsh(self):
+        """Alternating optimization (reference trainers/adsh.py:118-175):
+        per epoch, SGD a resampled subset against stored db codes, then
+        discrete-cyclic-coordinate update of the db codes."""
+        from concepthash_tpu.losses.baselines import adsh_loss, solve_dcc
+        from concepthash_tpu.ops.retrieval import get_sim
+
+        cfg = self.config
+        crit = dict(cfg.get("criterion", {}) or {})
+        gamma = float(crit.get("gamma", 200.0))
+        nbit = int(cfg["model"]["nbit"])
+        num_samples = int(crit.get("num_samples", 2000))
+        inner_epochs = int(crit.get("max_iters", crit.get("inner_epochs", 3)))
+        train_ds = self.datasets["train"]
+        n_train = len(train_ds)
+        num_samples = min(num_samples, n_train)
+        rng = np.random.default_rng(int(cfg.get("seed", 42)))
+        train_onehot = train_ds.onehot_labels()
+        V = np.sign(rng.standard_normal((n_train, nbit))).astype(np.float32)
+
+        bs = int(cfg.get("batch_size", 64))
+        resize = int(cfg["dataset"].get("resize", 256))
+
+        def train_pp(images, prng):
+            return preprocess_batch(images, prng, crop=self.crop, norm=self.norm,
+                                    train=True, augment=self.augment)
+
+        def loss_fn(outputs, batch):
+            return adsh_loss(outputs, batch["adsh"], gamma=gamma, nbit=nbit)
+
+        step = make_train_step(self.model, loss_fn, self.tx, mesh=self.mesh,
+                               preprocess_fn=train_pp, donate=False)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data_sh = NamedSharding(self.mesh, P("data"))
+
+        for ep in range(self.epochs):
+            omega = rng.choice(n_train, num_samples, replace=False)
+            sub = train_ds.subset(omega)
+            loader = Loader(sub, bs, resize=resize, shuffle=True, drop_last=True,
+                            seed=int(cfg.get("seed", 42)) + ep)
+            S_full = (get_sim(train_onehot[omega], train_onehot)
+                      .astype(np.float32) * 2 - 1)  # soft similarity in {-1, 1}
+            V_dev = jax.device_put(V, repl)
+            meters = MeterBank()
+            for _ in range(inner_epochs):
+                for batch in loader:
+                    n = batch.pop("n_valid")
+                    # loader indices are positions within the subset == omega rows
+                    pos = batch["index"]  # (bs,) subset-relative (drop_last: all valid)
+                    batch2 = {
+                        "image": jax.device_put(batch["image"], data_sh),
+                        "label": jax.device_put(batch["label"], data_sh),
+                        "adsh": {
+                            "S": jax.device_put(S_full[pos], data_sh),
+                            "V": V_dev,
+                            "V_omega": jax.device_put(V[omega[pos]], data_sh),
+                        },
+                    }
+                    self.state, metrics = step(self.state, batch2)
+                    meters.update_device(metrics, n)
+            # refresh U on the subset, then DCC-update V
+            sub_loader = Loader(sub, bs, resize=resize)
+            us, sub_pos = [], []
+            for batch in sub_loader:
+                n = batch.pop("n_valid")
+                codes, _ = self.eval_step(self.state, shard_batch(batch, self.mesh))
+                us.append(np.tanh(np.asarray(codes["codes"])[:n]))
+                sub_pos.append(batch["index"][:n])
+            U = np.concatenate(us)
+            sub_pos = np.concatenate(sub_pos)  # positions within omega
+            V = np.asarray(solve_dcc(jnp.asarray(V), jnp.asarray(np.sign(U)),
+                                     jnp.asarray(S_full[sub_pos]),
+                                     jnp.asarray(omega[sub_pos]), gamma, nbit))
+            res = meters.materialize()
+            self.train_history.append({"ep": ep, **res})
+            logging.info("adsh ep %d: loss=%.4f", ep, res.get("loss", float("nan")))
+
+        # db codes are the stored V (reference adsh.py:78-79)
+        self._adsh_V = V
+        test_codes, test_labels, _ = self.encode_split("test")
+        mAP, recalls, precisions = calculate_mAP(
+            V, train_onehot, np.tanh(test_codes["codes"]), test_labels,
+            R=cfg.get("dataset", {}).get("R", -1),
+            PRs=tuple(cfg.get("PRs", (1, 5, 10))))
+        self.test_history.append({"ep": self.epochs - 1, "mAP": mAP,
+                                  "recalls": recalls, "precisions": precisions})
+        self.save_model("best", self.epochs - 1)
+        io.fast_save({"V": V}, os.path.join(self.logdir, "outputs", "db_codes.msgpack"))
+        io.join_save_queue()
+        self.best_metric = mAP
+        logging.info("adsh: mAP=%.4f", mAP)
+        return mAP
+
+
+class GeneralExperiment(RetrievalExperiment):
+    """No-mAP variant: best = min test loss (reference
+    experiments/train_no_eval.py:11-88)."""
+
+    eval_metric = "test_loss"
+    higher_is_better = False
+
+    def evaluation(self, ep: int):
+        _, _, test_meters = self.encode_split("test")
+        res = {"ep": ep, **{f"test_{k}": v for k, v in test_meters.items()}}
+        res["test_loss"] = res.get("test_loss", test_meters.get("loss", 0.0))
+        return res, None
+
+    def _dump_codes(self, dumps):
+        pass
+
+
+class RetrievalEvaluation:
+    """Eval-only: load a checkpoint, encode, score — incl. sub-code slicing,
+    zero-mean, ternary threshold, test-as-database, PR curves, code export
+    (reference experiments/test_hashing.py:18-181)."""
+
+    def __init__(self, config: dict):
+        self.config = config
+        # reuse the experiment plumbing without its training state
+        self.exp = RetrievalExperiment.__new__(RetrievalExperiment)
+        exp = self.exp
+        exp.config = config
+        exp.logdir = config["logdir"]
+        self.eval_logdir = config.get("eval_logdir",
+                                      os.path.join(exp.logdir, "evaluations"))
+        os.makedirs(self.eval_logdir, exist_ok=True)
+        io.init_save_queue()
+        setup_logging(os.path.join(self.eval_logdir, "log.txt"))
+        seeding(int(config.get("seed", 42)))
+        exp.method = get_method(config["model"]["name"])
+        exp.multiclass = bool(config.get("dataset", {}).get("multiclass", False))
+        exp._load_data()
+        exp._build_method()
+        name = "last" if config.get("use_last") else "best"
+        path = os.path.join(exp.logdir, "models", f"{name}.msgpack")
+        if os.path.exists(path):
+            exp.load_model_state(path)
+        else:
+            logging.warning("checkpoint %s missing — evaluating current init", path)
+
+    def main(self) -> dict:
+        cfg = self.config
+        exp = self.exp
+        test_codes, test_labels, test_meters = exp.encode_split("test")
+        res = {f"test_{k}": v for k, v in test_meters.items()}
+
+        if cfg.get("exp") == "extract" or cfg.get("save_code"):
+            io.fast_save({"test": {**test_codes, "labels": test_labels}},
+                         os.path.join(self.eval_logdir, "outputs.msgpack"))
+        if cfg.get("exp") == "extract":
+            io.join_save_queue()
+            return res
+
+        if cfg.get("test_as_database"):
+            db_codes, db_labels = test_codes, test_labels
+            drop_first = True
+        else:
+            db_codes, db_labels, _ = exp.encode_split("db")
+            drop_first = False
+
+        for key in test_codes:
+            postfix = "" if key == "codes" else "_" + key.split("_", 1)[0]
+            tc, dc = test_codes[key], db_codes[key]
+            if cfg.get("sub_code_eval"):
+                s = cfg.get("sub_code_eval_setting", {}) or {}
+                if int(s.get("rand_bits", 0)):
+                    rng = np.random.default_rng(int(cfg.get("seed", 42)))
+                    bits = rng.permutation(tc.shape[1])[:int(s["rand_bits"])]
+                else:
+                    end = int(s.get("end_bit", -1))
+                    if end < 0:
+                        end = tc.shape[1]
+                    bits = np.arange(int(s.get("start_bit", 0)), end)
+                tc, dc = tc[:, bits], dc[:, bits]
+            common = dict(dist_metric=cfg.get("dist_metric", "hamming"),
+                          threshold=float(cfg.get("ternary_threshold", 0) or 0),
+                          remove_first_retrieved=drop_first)
+            if cfg.get("compute_mAP", True):
+                mAPs, recalls, precisions = calculate_mAP(
+                    dc, db_labels, tc, test_labels, R=cfg.get("R", -1),
+                    PRs=tuple(cfg.get("PRs", (1, 5, 10))),
+                    zero_mean=bool(cfg.get("zero_mean_eval", False)), **common)
+                res["mAP" + postfix] = mAPs
+                res["recalls" + postfix] = recalls
+                res["precisions" + postfix] = precisions
+                logging.info("%s: mAP@%s = %s", key, cfg.get("R", -1), mAPs)
+            else:
+                recalls, precisions, Rs = calculate_pr_curve(
+                    dc, db_labels, tc, test_labels, **common)
+                res["recalls" + postfix] = recalls
+                res["precisions" + postfix] = precisions
+                res["Rs" + postfix] = Rs
+
+        import json
+
+        with open(os.path.join(self.eval_logdir, "history.json"), "w") as f:
+            json.dump(_jsonable(res), f, indent=2)
+        io.join_save_queue()
+        return res
+
+
+def _jsonable(x):
+    from concepthash_tpu.utils.logger import _to_jsonable
+
+    return _to_jsonable(x)
+
+
+def _restore_like(template, data):
+    """Restore a msgpack dict onto a pytree template (keeps dtypes/shapes)."""
+    if isinstance(template, dict):
+        return {k: _restore_like(template[k], data[k]) for k in template}
+    if hasattr(template, "shape") and data is not None:
+        arr = np.asarray(data)
+        return jnp.asarray(arr.reshape(np.shape(template)),
+                           dtype=jnp.asarray(template).dtype)
+    if isinstance(template, (tuple, list)) or hasattr(template, "_fields"):
+        seq = list(data.values()) if isinstance(data, dict) else list(data)
+        rebuilt = [_restore_like(t, d) for t, d in zip(template, seq)]
+        if hasattr(template, "_fields"):
+            return type(template)(*rebuilt)
+        return type(template)(rebuilt)
+    return template if data is None else data

@@ -1,0 +1,220 @@
+"""Method registry: config name -> {model factory, loss fn, codebook needs,
+training regime}. The JAX redesign of the reference's trainer-class zoo
+(trainers/*.py, SURVEY.md §2.4): method logic is data, the training loop is
+generic.
+
+Regimes:
+  sgd      — gradient methods through the pjit train step
+  shallow  — one-pass fit on extracted features (ITQ/PCA/LSH/SH,
+             reference trainers/shallow.py)
+  adsh     — alternating optimization with stored database codes
+             (reference trainers/adsh.py / semicon.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from concepthash_tpu.losses import baselines as L
+from concepthash_tpu.losses.concepthash import lgh_loss
+from concepthash_tpu.models.backbone_factory import (
+    adapter_config_from_model_cfg,
+    vision_config_from_backbone_cfg,
+)
+from concepthash_tpu.models.baselines import BaselineConfig, BaselineHashNet
+from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
+
+
+@dataclasses.dataclass
+class Method:
+    name: str
+    build_model: Callable  # (config, codebook) -> nn.Module
+    build_loss: Callable   # (config, codebook) -> fn(outputs, batch)->(loss, parts)
+    codebook: Optional[str] = None     # None | 'signed' | 'continuous'
+    regime: str = "sgd"                # sgd | shallow | adsh
+    unsupervised: bool = False
+    needs_attentions: Callable = lambda cfg: False
+
+    def wants_index(self):
+        return self.regime == "adsh"
+
+
+_REGISTRY: dict[str, Method] = {}
+
+
+def register_method(m: Method):
+    _REGISTRY[m.name] = m
+    return m
+
+
+def get_method(name: str) -> Method:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown method {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_methods() -> list:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def _vision_and_adapters(config):
+    vcfg = vision_config_from_backbone_cfg(config.get("backbone", {}) or {})
+    acfg = adapter_config_from_model_cfg(config.get("model", {}))
+    return vcfg, acfg
+
+
+def _build_concepthash(config, codebook):
+    m = config["model"]
+    upt = m.get("upt_config", {}) or {}
+    vcfg, acfg = _vision_and_adapters(config)
+    ccfg = ConceptHashConfig(
+        nbit=int(m["nbit"]),
+        nclass=int(m["nclass"]),
+        ncontext=int(m.get("ncontext", 4)),
+        nregs=int(m.get("nregs", 0)),
+        num_heads=int(upt.get("num_heads", 8)),
+        dropout=float(upt.get("dropout", 0.1)),
+        add_bn=bool(m.get("add_bn", True)),
+        use_before_projection=bool(m.get("use_before_projection", True)),
+        hash_pe=bool(upt.get("hash_pe", True)),
+        ensemble_method=upt.get("ensemble_method", "concat"),
+        concept_reg=bool(m.get("concept_reg", True)),
+        concept_cossim=bool(m.get("concept_cossim", True)),
+        learnable_center=codebook is None,
+        center_dim=int(codebook.shape[1]) if codebook is not None else 512,
+        text_projection_dims=tuple(m.get("text_projection_dims", (512,))),
+    )
+    fixed = jnp.asarray(codebook) if codebook is not None else None
+    return ConceptHash(vcfg, ccfg, adapters=acfg, fixed_center=fixed)
+
+
+def _build_baseline(head, config, codebook, **kw):
+    m = config["model"]
+    vcfg, acfg = _vision_and_adapters(config)
+    bcfg = BaselineConfig(nbit=int(m["nbit"]), nclass=int(m["nclass"]),
+                          head=head, add_bn=bool(m.get("add_bn", True)),
+                          ce_cossim=m.get("m_type", "ce") != "ce")
+    cb = jnp.asarray(codebook) if codebook is not None else None
+    return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb, **kw)
+
+
+def _criterion_kwargs(config):
+    crit = dict(config.get("criterion", {}) or {})
+    crit.pop("name", None)
+    crit.setdefault("multiclass", bool(
+        config.get("dataset", {}).get("multiclass", False)))
+    return crit
+
+
+def _simple_loss(loss_fn):
+    def build(config, codebook):
+        kw = _criterion_kwargs(config)
+        if codebook is not None:
+            kw["codebook"] = jnp.asarray(codebook)
+        return lambda outputs, batch: loss_fn(outputs, batch["label"], **kw)
+
+    return build
+
+
+def _lgh_build_loss(config, codebook):
+    kw = _criterion_kwargs(config)
+    kw.pop("multiclass", None)
+    kw.setdefault("ncontext", int(config["model"].get("ncontext", 4)))
+    kw.setdefault("concept_cossim", bool(config["model"].get("concept_cossim", True)))
+    return lambda outputs, batch: lgh_loss(outputs, batch["label"], **kw)
+
+
+register_method(Method(
+    "concepthash", _build_concepthash, _lgh_build_loss, codebook="continuous",
+    needs_attentions=lambda cfg: (cfg.get("criterion", {}).get("loss_scales", {})
+                                  or {}).get("attn_div_loss", 0) != 0))
+register_method(Method(
+    "orthohash", functools.partial(_build_baseline, "orthohash"),
+    _simple_loss(L.orthohash_loss), codebook="signed"))
+register_method(Method(
+    "csq", functools.partial(_build_baseline, "csq"),
+    _simple_loss(L.csq_loss), codebook="signed"))
+register_method(Method(
+    "dpn", functools.partial(_build_baseline, "dpn"),
+    _simple_loss(L.dpn_loss), codebook="signed"))
+register_method(Method(
+    "hashnet", functools.partial(_build_baseline, "pairwise"),
+    _simple_loss(L.hashnet_loss)))
+register_method(Method(
+    "dpsh", functools.partial(_build_baseline, "pairwise"),
+    _simple_loss(L.dpsh_loss)))
+register_method(Method(
+    "dtsh", functools.partial(_build_baseline, "pairwise"),
+    _simple_loss(L.dtsh_loss)))
+register_method(Method(
+    "greedyhash", functools.partial(_build_baseline, "greedyhash"),
+    _simple_loss(L.greedyhash_loss)))
+register_method(Method(
+    "unsup_greedyhash", functools.partial(_build_baseline, "unsup_greedyhash"),
+    _simple_loss(L.unsup_greedyhash_loss), unsupervised=True))
+register_method(Method(
+    "ce", functools.partial(_build_baseline, "ce"),
+    _simple_loss(L.ce_loss)))
+register_method(Method(
+    "descriptor", functools.partial(_build_baseline, "descriptor"),
+    lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {}))))
+
+# shallow methods: model = descriptor trunk; fit happens in the driver
+for _name in ("itq", "pca", "lsh", "sh"):
+    register_method(Method(
+        _name, functools.partial(_build_baseline, "descriptor"),
+        lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {})),
+        regime="shallow"))
+
+# asymmetric methods (ADSH; SEMICON's training loop is ADSH-shaped, its
+# multi-stage CNN backbone is replaced by the shared trunk — SURVEY.md §2.4)
+register_method(Method(
+    "adsh", functools.partial(_build_baseline, "csq"),  # tanh codes head
+    lambda config, codebook: None,  # loss handled by the adsh regime
+    regime="adsh"))
+register_method(Method(
+    "semicon", functools.partial(_build_baseline, "csq"),
+    lambda config, codebook: None, regime="adsh"))
+
+
+# ---------------------------------------------------------------------------
+# codebook stage
+# ---------------------------------------------------------------------------
+
+def prepare_codebook(method: Method, config, logdir: str | None = None,
+                     text_embedder=None) -> Optional[np.ndarray]:
+    """Run (or load) the codebook stage if the method needs one. Reads the
+    model config's ``fixed_center`` / criterion's ``codebook`` spec, which
+    keep the reference YAML shape (configs/model/*.yaml)."""
+    if method.codebook is None:
+        return None
+    m = config["model"]
+    spec = dict(m.get("fixed_center") or config.get("criterion", {}).get("codebook")
+                or m.get("codebook") or {})
+    spec.pop("_target_", None)
+    spec.setdefault("codebook_method", "N")
+    spec.setdefault("nclass", int(m["nclass"]))
+    spec.setdefault("nbit", int(m["nbit"]))
+    spec.setdefault("seed", int(config.get("seed", 42)))
+    if method.codebook == "continuous":
+        spec.setdefault("quantized", False)
+    if text_embedder is not None:
+        spec["text_embedder"] = text_embedder
+
+    from concepthash_tpu.train import codebook as CB
+
+    if logdir and "text_embedder" not in spec:
+        import os
+
+        return CB.load_or_create_codebook(
+            os.path.join(logdir, "outputs", "codebook.msgpack"), **spec)
+    return CB.get_codebook(**spec)

@@ -61,15 +61,21 @@ def data_parallel_shardings(mesh: Optional[Mesh]):
 def make_train_step(model, loss_fn: Callable, tx,
                     mesh: Optional[Mesh] = None,
                     output_attentions: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    preprocess_fn: Optional[Callable] = None):
     """loss_fn(outputs, batch) -> (total, parts_dict).
 
     Returns step(state, batch) -> (state, metrics); batch is a dict with at
-    least image (B,H,W,C) f32 and label (B,C) one-hot f32.
+    least image (B,H,W,C) and label (B,C) one-hot f32. ``preprocess_fn(images,
+    rng)`` (optional) runs the fused device augmentation inside the same jit,
+    so raw uint8 crosses host->device and every float op fuses on-chip.
     """
 
     def step_fn(state: TrainState, batch: dict):
         rng = jax.random.fold_in(state.rng, state.step)
+        images = batch["image"]
+        if preprocess_fn is not None:
+            images = preprocess_fn(images, jax.random.fold_in(rng, 7))
 
         def compute(params):
             vars_in = {"params": params}
@@ -78,7 +84,7 @@ def make_train_step(model, loss_fn: Callable, tx,
             if state.constants:
                 vars_in["constants"] = state.constants
             out, mutated = model.apply(
-                vars_in, batch["image"], train=True,
+                vars_in, images, train=True,
                 output_attentions=output_attentions,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             total, parts = loss_fn(out, batch)
@@ -93,23 +99,22 @@ def make_train_step(model, loss_fn: Callable, tx,
         metrics = {"loss": total, **parts, **accuracy_metrics(out, batch["label"])}
         return new_state, metrics
 
-    repl, shard = data_parallel_shardings(mesh)
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, shard),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else (),
-    )
+    # Sharding is carried by the committed placement of the inputs (state
+    # replicated via mesh.replicate, batch sharded via mesh.shard_batch);
+    # GSPMD partitions the computation and inserts the gradient all-reduce.
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, loss_fn: Optional[Callable] = None,
-                   mesh: Optional[Mesh] = None, codes_key: str = "codes"):
+                   mesh: Optional[Mesh] = None, codes_key: str = "codes",
+                   preprocess_fn: Optional[Callable] = None):
     """eval step: forward in inference mode, returns (codes, metrics)."""
 
     def step_fn(state: TrainState, batch: dict):
-        out = model.apply(state.variables(), batch["image"], train=False)
+        images = batch["image"]
+        if preprocess_fn is not None:
+            images = preprocess_fn(images, None)
+        out = model.apply(state.variables(), images, train=False)
         metrics = {}
         if loss_fn is not None:
             total, parts = loss_fn(out, batch)
@@ -118,11 +123,7 @@ def make_eval_step(model, loss_fn: Optional[Callable] = None,
         codes = {k: v for k, v in out.items() if codes_key in k and v.ndim == 2}
         return codes, metrics
 
-    repl, shard = data_parallel_shardings(mesh)
-    if mesh is None:
-        return jax.jit(step_fn)
-    return jax.jit(step_fn, in_shardings=(repl, shard),
-                   out_shardings=(shard, repl))
+    return jax.jit(step_fn)
 
 
 def accuracy_metrics(outputs: dict, onehot) -> dict:

@@ -1,0 +1,135 @@
+"""Data layer: manifests, loader batching/padding, fused device preprocessing
+(golden parity vs PIL/torch where semantics are shared)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from concepthash_tpu.data.manifest import HashingDataset, OneHot, read_class_names
+from concepthash_tpu.data.pipeline import Loader, dataloader
+from concepthash_tpu.data.preprocess import (
+    center_crop,
+    load_image_host,
+    normalize,
+    preprocess_batch,
+)
+from concepthash_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(root), nclass=3, per_class_train=4,
+                                  per_class_test=2, image_size=64)
+
+
+def test_manifest_and_class_names(ds_root):
+    ds = HashingDataset(ds_root, "train.txt", num_classes=3)
+    assert len(ds) == 12
+    assert ds.onehot_labels().shape == (12, 3)
+    assert ds.onehot_labels().sum() == 12
+    names = read_class_names(ds_root)
+    assert names == ["synthetic class 0", "synthetic class 1", "synthetic class 2"]
+    sub = ds.subset([0, 5])
+    assert len(sub) == 2
+
+
+def test_few_shot(ds_root):
+    ds = HashingDataset(ds_root, "train.txt", num_classes=3, num_shots=2)
+    assert len(ds) == 6
+    assert (np.bincount(ds.labels) == 2).all()
+
+
+def test_onehot_transform():
+    oh = OneHot(5)
+    np.testing.assert_array_equal(oh(3), np.eye(5, dtype=np.float32)[3])
+
+
+def test_loader_batching_and_padding(ds_root):
+    ds = HashingDataset(ds_root, "train.txt", num_classes=3)
+    loader = Loader(ds, batch_size=5, resize=48, shuffle=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == 3  # ceil(12/5)
+    for b in batches:
+        assert b["image"].shape == (5, 48, 48, 3)
+        assert b["image"].dtype == np.uint8
+        assert b["label"].shape == (5, 3)
+    assert batches[-1]["n_valid"] == 2
+    assert (batches[-1]["index"][2:] == -1).all()
+    # shuffle differs across epochs, deterministic per seed
+    order1 = np.concatenate([b["index"] for b in loader])
+    loader2 = Loader(ds, batch_size=5, resize=48, shuffle=True, seed=7)
+    order2 = np.concatenate([b["index"] for b in loader2])
+    assert not np.array_equal(order1[:12], order2[:12])
+
+
+def test_loader_drop_last(ds_root):
+    ds = HashingDataset(ds_root, "train.txt", num_classes=3)
+    loader = dataloader(ds, 5, shuffle=True, drop_last=True, resize=48)
+    assert len(list(loader)) == 2
+
+
+def test_host_decode_matches_pil_torch_resize(ds_root):
+    """Host short-side-resize + center-crop equals torchvision's
+    Resize(resize)+CenterCrop(resize) (both PIL bicubic)."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    ds = HashingDataset(ds_root, "test.txt", num_classes=3)
+    path = ds.image_path(0)
+    ours = load_image_host(path, resize=48)
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        short = min(w, h)
+        nw, nh = round(w * 48 / short), round(h * 48 / short)
+        ref = im.resize((max(nw, 48), max(nh, 48)), Image.BICUBIC)
+        left, top = (ref.size[0] - 48) // 2, (ref.size[1] - 48) // 2
+        ref = np.asarray(ref.crop((left, top, left + 48, top + 48)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_normalize_stats():
+    x = jnp.full((1, 4, 4, 3), 255, jnp.uint8)
+    out = np.asarray(normalize(x, norm=3))
+    expected = (1.0 - np.array([0.48145466, 0.4578275, 0.40821073])) / \
+        np.array([0.26862954, 0.26130258, 0.27577711])
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_preprocess_eval_center_crop():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    out = preprocess_batch(jnp.asarray(imgs), jax.random.PRNGKey(0), crop=24,
+                           norm=0, train=False)
+    ref = normalize(center_crop(jnp.asarray(imgs).astype(jnp.float32), 24), 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert out.shape == (2, 24, 24, 3)
+
+
+@pytest.mark.parametrize("augment", ["rrc", "randcrop", "trivial"])
+def test_preprocess_train_modes(augment):
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    out = preprocess_batch(jnp.asarray(imgs), jax.random.PRNGKey(1), crop=24,
+                           norm=2, train=True, augment=augment)
+    assert out.shape == (4, 24, 24, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # different rng -> different augmentation
+    out2 = preprocess_batch(jnp.asarray(imgs), jax.random.PRNGKey(2), crop=24,
+                            norm=2, train=True, augment=augment)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_trivial_augment_ops_all_run():
+    from concepthash_tpu.data.augment import _OPS, _augment_one
+
+    rng = np.random.default_rng(2)
+    im = jnp.asarray(rng.uniform(0, 255, (16, 16, 3)).astype(np.float32))
+    for i in range(len(_OPS)):
+        out = _augment_one(im, jnp.int32(i), jnp.float32(0.5))
+        assert out.shape == im.shape
+        assert np.isfinite(np.asarray(out)).all(), f"op {i} produced non-finite"
+        assert float(np.asarray(out).max()) <= 255.0 + 1e-3

@@ -1,0 +1,109 @@
+"""End-to-end: CLI config -> train -> eval -> artifacts -> validation reload.
+
+The CPU-runnable equivalent of the reference's README run command
+(BASELINE.json configs[0]), on the synthetic fixture with the tiny backbone.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from concepthash_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("e2e")
+    make_synthetic_dataset(str(wd / "data" / "synthetic"), nclass=3,
+                           per_class_train=8, per_class_test=4, image_size=64)
+    return str(wd)
+
+
+def run_main(args):
+    import main as cli
+
+    return cli.main(args)
+
+
+@pytest.fixture(scope="module")
+def trained_run(workdir):
+    logdir = os.path.join(workdir, "run1")
+    best = run_main([
+        "dataset=synthetic", "model=concepthash", "backbone=tiny_test",
+        "optim=sgd", "model.nbit=16", "model.text_projection_dims=[32]",
+        "batch_size=8", "epochs=2", "eval_interval=1",
+        f"data_dir={workdir}", f"logdir={logdir}", "seed=7",
+        "scheduler.warmup_epochs=1",
+    ])
+    return logdir, best
+
+
+def test_train_produces_artifacts(trained_run):
+    logdir, best = trained_run
+    assert best is not None and 0.0 <= best <= 1.0
+    for f in ["config.yaml", "log.txt", "train_history.json",
+              "test_history.json", os.path.join("models", "best.msgpack"),
+              os.path.join("models", "last.msgpack"),
+              os.path.join("outputs", "test_best.msgpack")]:
+        assert os.path.exists(os.path.join(logdir, f)), f"missing {f}"
+    with open(os.path.join(logdir, "train_history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 2
+    assert "loss" in hist[0] and "lr" in hist[0]
+    with open(os.path.join(logdir, "test_history.json")) as f:
+        thist = json.load(f)
+    assert thist[-1]["mAP"] == pytest.approx(best) or thist[0]["mAP"] == pytest.approx(best)
+    assert len(thist[-1]["recalls"]) == 3
+
+
+def test_validation_mode_reloads_config(trained_run, workdir):
+    logdir, best = trained_run
+    eval_dir = os.path.join(workdir, "eval1")
+    res = run_main([
+        "exp=validation", f"logdir={logdir}", f"data_dir={workdir}",
+        f"eval_logdir={eval_dir}", "batch_size=8", "R=-1",
+    ])
+    assert "mAP" in res
+    assert os.path.exists(os.path.join(eval_dir, "history.json"))
+    # best-checkpoint mAP should reproduce the training-time best
+    assert res["mAP"] == pytest.approx(best, abs=0.02)
+
+
+def test_validation_sub_code_and_self_retrieval(trained_run, workdir):
+    logdir, _ = trained_run
+    res = run_main([
+        "exp=validation", f"logdir={logdir}", f"data_dir={workdir}",
+        f"eval_logdir={os.path.join(workdir, 'eval2')}", "batch_size=8",
+        "sub_code_eval=true", "sub_code_eval_setting.start_bit=0",
+        "sub_code_eval_setting.end_bit=8", "test_as_database=true",
+    ])
+    assert "mAP" in res
+
+
+def test_extract_mode(trained_run, workdir):
+    logdir, _ = trained_run
+    eval_dir = os.path.join(workdir, "eval3")
+    run_main(["exp=extract", f"logdir={logdir}", f"data_dir={workdir}",
+              f"eval_logdir={eval_dir}", "batch_size=8"])
+    from concepthash_tpu.utils.io import load_checkpoint
+
+    blob = load_checkpoint(os.path.join(eval_dir, "outputs.msgpack"))
+    assert blob["test"]["codes"].shape == (12, 16)
+
+
+def test_resume(trained_run, workdir):
+    logdir, _ = trained_run
+    logdir2 = os.path.join(workdir, "run1_resumed")
+    run_main([
+        "dataset=synthetic", "model=concepthash", "backbone=tiny_test",
+        "optim=sgd", "model.nbit=16", "model.text_projection_dims=[32]",
+        "batch_size=8", "epochs=3", "eval_interval=1",
+        f"data_dir={workdir}", f"logdir={logdir2}", "seed=7",
+        f"resume_logdir={logdir}", "scheduler.warmup_epochs=1",
+    ])
+    with open(os.path.join(logdir2, "train_history.json")) as f:
+        hist = json.load(f)
+    # resumed at epoch 2, trained 1 more (epochs=3)
+    assert hist[-1]["ep"] == 2

@@ -1,0 +1,195 @@
+"""Method registry: every registered method builds, steps, and produces
+finite losses; baseline loss formulas match torch reference math; shallow
+fits separate synthetic clusters."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from concepthash_tpu import methods as M
+from concepthash_tpu.losses import baselines as L
+from concepthash_tpu.losses.shallow import FITTERS, encode_shallow
+from concepthash_tpu.ops.retrieval import calculate_mAP
+from concepthash_tpu.train.optim import build_optimizer
+from concepthash_tpu.train.state import create_train_state, make_train_step
+
+TINY_BACKBONE = {"name": "tiny", "pretrained": False, "hidden_size": 32,
+                 "intermediate_size": 64, "num_layers": 2, "num_heads": 4,
+                 "patch_size": 8, "image_size": 16, "projection_dim": 32}
+
+
+def make_config(name, **crit):
+    return {
+        "model": {"name": name, "nbit": 16, "nclass": 4, "ncontext": 4,
+                  "has_adapter": True, "adapter_bottleneck_dim": 8,
+                  "text_projection_dims": [32]},
+        "backbone": TINY_BACKBONE,
+        "criterion": {"name": name, **crit},
+        "dataset": {"multiclass": False},
+        "seed": 0,
+    }
+
+
+SGD_METHODS = ["concepthash", "orthohash", "csq", "dpn", "hashnet", "dpsh",
+               "dtsh", "greedyhash", "unsup_greedyhash", "ce"]
+
+
+@pytest.mark.parametrize("name", SGD_METHODS)
+def test_method_builds_and_steps(name, rng):
+    cfg = make_config(name)
+    method = M.get_method(name)
+    codebook = M.prepare_codebook(
+        method, cfg, text_embedder=lambda names: np.random.default_rng(0)
+        .standard_normal((len(names), 32)).astype(np.float32))
+    if method.codebook == "signed":
+        assert set(np.unique(codebook)) <= {-1.0, 1.0}
+        assert codebook.shape == (4, 16)
+    cfg["model"]["fixed_center"] = None  # already materialized
+    if method.codebook == "continuous":
+        assert codebook.shape[0] == 4
+
+    model = method.build_model(cfg, codebook)
+    loss_fn = method.build_loss(cfg, codebook)
+
+    sample = jnp.zeros((8, 16, 16, 3))
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "dropout": jax.random.fold_in(k, 1)},
+                        sample, train=True)["params"]
+    tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 2, 2, params, 0.0)
+    state = create_train_state(model, tx, sample, k)
+    step = make_train_step(model, loss_fn, tx, donate=False)
+
+    y = rng.integers(0, 4, 8)
+    batch = {"image": jnp.asarray(rng.standard_normal((8, 16, 16, 3)),
+                                  jnp.float32),
+             "label": jnp.asarray(np.eye(4, dtype=np.float32)[y])}
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"])), name
+    state2, metrics2 = step(state1, batch)
+    assert np.isfinite(float(metrics2["loss"])), name
+
+
+def test_language_codebook_continuous_and_quantized():
+    cfg = make_config("concepthash")
+    cfg["model"]["fixed_center"] = {"codebook_method": "L", "quantized": False,
+                                    "class_names": ["a", "b", "c", "d"]}
+    method = M.get_method("concepthash")
+    embedder = lambda names: np.random.default_rng(1).standard_normal(
+        (len(names), 32)).astype(np.float32)
+    emb = M.prepare_codebook(method, cfg, text_embedder=embedder)
+    assert emb.shape == (4, 32)  # continuous centers, raw width
+
+    # quantized 'L' path (lg_pca OrthoHash): signed (nclass, nbit)
+    names = [f"c{i}" for i in range(20)]
+    cfg2 = make_config("orthohash")
+    cfg2["model"]["nclass"] = 20
+    cfg2["model"]["codebook"] = {"codebook_method": "L", "quantized": True,
+                                 "binary_method": "pca",
+                                 "class_names": names}
+    cb = M.prepare_codebook(M.get_method("orthohash"), cfg2,
+                            text_embedder=embedder)
+    assert cb.shape == (20, 16)
+    assert set(np.unique(cb)) <= {-1.0, 1.0}
+
+
+@pytest.mark.parametrize("loss_name,loss_fn", [
+    ("hashnet", L.hashnet_loss), ("dpsh", L.dpsh_loss)])
+def test_pairwise_losses_match_torch(loss_name, loss_fn, rng):
+    torch = pytest.importorskip("torch")
+
+    u = rng.standard_normal((10, 16)).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 10)]
+    ours, _ = loss_fn({"codes": jnp.asarray(u)}, jnp.asarray(y))
+
+    tu = torch.from_numpy(u)
+    ty = torch.from_numpy(y)
+    sim = (ty @ ty.t() > 0).float()
+    if loss_name == "hashnet":
+        th = torch.tanh(tu)
+        dot = th @ th.t()
+    else:
+        dot = (tu @ tu.t()) / 2
+    lt = torch.nn.functional.relu(dot) + torch.log1p(torch.exp(-dot.abs()))
+    exp_loss = lt - sim * dot
+    S1, S0 = sim.sum(), (1 - sim).sum()
+    S = S1 + S0
+    w = torch.where(sim > 0, S / S1, S / S0)
+    expected = (exp_loss * w).sum() / S
+    if loss_name == "dpsh":
+        expected = expected + ((tu - tu.sign()) ** 2).mean()
+    assert float(ours) == pytest.approx(float(expected), rel=1e-5)
+
+
+def test_dtsh_vectorization_matches_loop(rng):
+    """The reference computes DTSH with a Python row loop
+    (models/loss/dtsh.py:29-38); our masked vectorization must agree."""
+    u = rng.standard_normal((12, 8)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 12)]
+    alpha, lmbd = 5.0, 1.0
+    ours, parts = L.dtsh_loss({"codes": jnp.asarray(u)}, jnp.asarray(y),
+                              alpha=alpha, lmbd=lmbd)
+
+    ip = u @ u.T
+    s = (y @ y.T) > 0
+    count, loss1 = 0, 0.0
+    for row in range(12):
+        if s[row].sum() != 0 and (~s[row]).sum() != 0:
+            count += 1
+            tp = ip[row][s[row]]
+            tn = ip[row][~s[row]]
+            triple = np.clip(tp[:, None] - tn[None, :] - alpha, -100, 50)
+            loss1 += -(triple - np.log1p(np.exp(triple))).mean()
+    loss1 = loss1 / max(count, 1)
+    loss2 = ((u - np.sign(u)) ** 2).mean()
+    assert float(ours) == pytest.approx(loss1 + lmbd * loss2, rel=1e-4)
+
+
+def test_csq_dpn_losses(rng):
+    codebook = jnp.asarray(np.sign(rng.standard_normal((4, 16))), jnp.float32)
+    u = rng.standard_normal((6, 16)).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 6)]
+    total, parts = L.csq_loss({"codes": jnp.asarray(u)}, jnp.asarray(y),
+                              codebook=codebook, lambda_q=1e-4)
+    assert np.isfinite(float(total))
+    assert float(parts["center"]) > 0
+    total, parts = L.dpn_loss({"codes": jnp.asarray(u)}, jnp.asarray(y),
+                              codebook=codebook)
+    assert np.isfinite(float(total))
+    # perfect codes -> hinge loss small
+    perfect = codebook[jnp.asarray(y.argmax(1))] * 2.0
+    t2, _ = L.dpn_loss({"codes": perfect}, jnp.asarray(y), codebook=codebook)
+    assert float(t2) < float(total)
+
+
+@pytest.mark.parametrize("name", ["itq", "pca", "lsh", "sh"])
+def test_shallow_fits_separate_clusters(name, rng):
+    protos = rng.standard_normal((4, 32)).astype(np.float32) * 4
+    y = rng.integers(0, 4, 80)
+    feats = (protos[y] + rng.standard_normal((80, 32))).astype(np.float32)
+    onehot = np.eye(4, dtype=np.float32)[y]
+    state = FITTERS[name](feats, 16)
+    codes = encode_shallow(state, feats)
+    assert codes.shape == (80, 16)
+    mAP, _, _ = calculate_mAP(codes, onehot, codes, onehot, R=-1)
+    assert mAP > (0.5 if name == "pca" else 0.8), f"{name} mAP={mAP}"
+
+
+def test_hadamard_codebook_properties():
+    from concepthash_tpu.train.codebook import get_codebook
+
+    cb = get_codebook("H", nclass=10, nbit=16)
+    assert cb.shape == (10, 16)
+    assert set(np.unique(cb)) <= {-1.0, 1.0}
+    # hadamard rows are mutually orthogonal within the first nbit rows
+    g = cb[:8] @ cb[:8].T
+    assert np.abs(g - np.diag(np.diag(g))).max() == 0
+
+
+def test_maxmin_codebook():
+    from concepthash_tpu.train.codebook import get_codebook
+
+    cb = get_codebook("O", nclass=6, nbit=16, seed=3)
+    d = 0.5 * (16 - cb @ cb.T) / 16
+    off = d[~np.eye(6, dtype=bool)]
+    assert off.min() > 0.15
