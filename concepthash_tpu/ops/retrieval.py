@@ -205,6 +205,48 @@ def _as_onehot(labels):
 
 
 # ---------------------------------------------------------------------------
+# serving-path top-k retrieval
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "method", "exact"))
+def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
+                  exact: bool = False):
+    """Top-k nearest database entries by Hamming distance — the serving path.
+
+    Measured on TPU v5e, 1M-entry 64-bit gallery (bench.py): lax.top_k over
+    the distance row is sort-bound (~0.4k qps); ``approx_min_k`` is the
+    TPU-native partial reduction (~50k qps on the popcount path), and for
+    nbit <= ~256 computing distances as a sign matmul puts the work on the
+    MXU instead of the VPU (~134k qps). Defaults to the MXU path.
+
+    query_codes: (Q, nbit) float sign-able codes.
+    db: method='mxu' -> (N, nbit) ±1 float (use jnp.sign(codes));
+        method='popcount' -> (N, L) uint32 packed (ops.hamming.pack_bits).
+    exact=True uses lax.top_k (deterministic full sort) instead of
+    approx_min_k (recall_target 0.95 default, ties unordered).
+    Returns (distances (Q, k) float32, indices (Q, k) int32).
+    """
+    if method == "mxu":
+        nbit = query_codes.shape[-1]
+        sq = jnp.sign(query_codes).astype(jnp.bfloat16)
+        sim = jax.lax.dot_general(sq, db.astype(jnp.bfloat16),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dist = 0.5 * (nbit - sim)
+    elif method == "popcount":
+        from concepthash_tpu.ops.hamming import hamming_packed, pack_bits
+
+        dist = hamming_packed(pack_bits(query_codes), db).astype(jnp.float32)
+    else:
+        raise ValueError(method)
+    if exact:
+        neg, idx = jax.lax.top_k(-dist, k)
+        return -neg, idx
+    d, idx = jax.lax.approx_min_k(dist, k)
+    return d, idx
+
+
+# ---------------------------------------------------------------------------
 # label-pair helpers (reference utils.hashing.get_sim / log_trick)
 # ---------------------------------------------------------------------------
 

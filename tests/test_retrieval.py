@@ -177,3 +177,33 @@ def test_get_sim_and_log_trick(rng):
     np.testing.assert_allclose(np.asarray(log_trick(x)),
                                np.log1p(np.exp(np.minimum(x, 30))) + np.maximum(x - 30, 0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_retrieve_topk_matches_bruteforce(rng):
+    from concepthash_tpu.ops.hamming import pack_bits
+    from concepthash_tpu.ops.retrieval import retrieve_topk
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    db_codes = rng.standard_normal((200, 32)).astype(np.float32)
+    d_ref = oracle_hamming(q, db_codes)
+
+    # exact path: distance values must match brute force exactly
+    d_mxu, idx_mxu = retrieve_topk(q, np.sign(db_codes).astype(np.float32),
+                                   k=10, method="mxu", exact=True)
+    d_sorted = np.sort(d_ref, axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(d_mxu), d_sorted, atol=1e-4)
+
+    d_pop, idx_pop = retrieve_topk(q, pack_bits(db_codes), k=10,
+                                   method="popcount", exact=True)
+    np.testing.assert_allclose(np.asarray(d_pop), d_sorted, atol=1e-4)
+
+    # approximate path: high recall against the exact top-k set
+    d_apx, idx_apx = retrieve_topk(q, np.sign(db_codes).astype(np.float32),
+                                   k=10, method="mxu")
+    hits = 0
+    exact_sets = [set(np.argsort(d_ref[i], kind="stable")[:10]) for i in range(8)]
+    # compare by distance value (ties make index sets ambiguous)
+    for i in range(8):
+        hits += sum(1 for d in np.asarray(d_apx)[i] if d <= d_sorted[i, -1] + 1e-4)
+    assert hits >= 0.9 * 8 * 10
