@@ -262,3 +262,40 @@ def solve_dcc(V: jnp.ndarray, U: jnp.ndarray, S: jnp.ndarray, omega,
     for bit in range(nbit):
         V = body(bit, V)
     return V
+
+
+# ---------------------------------------------------------------------------
+# A2-Net-CE (reference models/loss/a2net_ce.py:7-29)
+# ---------------------------------------------------------------------------
+
+def a2net_ce_loss(outputs, onehot, gamma: float = 1.0, hash: float = 1.0,
+                  decorr: float = 0.1, **_):
+    codes = outputs["codes"]
+    codes_tanh = outputs["codes_tanh"]
+    norm = onehot / jnp.clip(onehot.sum(-1, keepdims=True), 1e-12)
+    hash_loss = soft_cross_entropy(outputs["logits"], norm)
+    corr = codes_tanh.T @ codes_tanh
+    n, nbit = codes_tanh.shape
+    decorr_loss = ((corr - jnp.eye(nbit) * n) ** 2).mean()
+    rec_loss = (((outputs["rec_all_x"] -
+                  jax.lax.stop_gradient(outputs["all_x"])) ** 2).mean()
+                + gamma * ((codes - codes_tanh) ** 2).mean())
+    total = hash * hash_loss + decorr * decorr_loss + rec_loss
+    return total, {"hash": hash_loss, "decorr": decorr_loss, "rec": rec_loss}
+
+
+# ---------------------------------------------------------------------------
+# SEMICON-CE (reference models/loss/semicon_ce.py:7-38)
+# ---------------------------------------------------------------------------
+
+def semicon_ce_loss(outputs, onehot, gamma: float = 0.1,
+                    loss_method: str = "ce", **_):
+    codes, logits = outputs["codes"], outputs["logits"]
+    norm = onehot / jnp.clip(onehot.sum(-1, keepdims=True), 1e-12)
+    if loss_method == "ce":
+        hash_loss = soft_cross_entropy(logits, norm)
+    else:
+        hash_loss = soft_cross_entropy(margin_logits(logits, onehot, 0.2, 8.0),
+                                       norm)
+    quan = ((codes - jnp.sign(codes)) ** 2).mean()
+    return hash_loss + gamma * quan, {"hash": hash_loss, "quan": quan}

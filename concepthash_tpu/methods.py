@@ -104,7 +104,8 @@ def _build_baseline(head, config, codebook, **kw):
                           head=head, add_bn=bool(m.get("add_bn", True)),
                           ce_cossim=m.get("m_type", "ce") != "ce")
     cb = jnp.asarray(codebook) if codebook is not None else None
-    return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb, **kw)
+    return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb,
+                           backbone_cfg=config.get("backbone"), **kw)
 
 
 def _criterion_kwargs(config):
@@ -167,6 +168,29 @@ register_method(Method(
 register_method(Method(
     "descriptor", functools.partial(_build_baseline, "descriptor"),
     lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {}))))
+
+
+def _build_finegrained(cls_name, config, codebook):
+    from concepthash_tpu.models.finegrained import A2NetCE, FineGrainedConfig, SemiconCE
+
+    m = config["model"]
+    vcfg, acfg = _vision_and_adapters(config)
+    fcfg = FineGrainedConfig(nbit=int(m["nbit"]), nclass=int(m["nclass"]),
+                             num_attns=int(m.get("num_attns", m.get("nattns", 4))),
+                             with_softplus=bool(m.get("with_softplus", False)),
+                             temp=float(m.get("temp", 10.0)))
+    cls = {"a2net_ce": A2NetCE, "semicon_ce": SemiconCE}[cls_name]
+    fixed = jnp.asarray(codebook) if codebook is not None else None
+    return cls(vcfg, fcfg, adapters=acfg, fixed_center=fixed,
+               backbone_cfg=config.get("backbone"))
+
+
+register_method(Method(
+    "a2net_ce", functools.partial(_build_finegrained, "a2net_ce"),
+    _simple_loss(L.a2net_ce_loss)))
+register_method(Method(
+    "semicon_ce", functools.partial(_build_finegrained, "semicon_ce"),
+    _simple_loss(L.semicon_ce_loss)))
 
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):

@@ -72,10 +72,15 @@ def maybe_load_pretrained_vision(backbone_cfg: dict, init_params: dict) -> dict:
         hf = CLIPModel.from_pretrained(name)
         ported = vision_params_from_torch(hf.state_dict(),
                                           hf.config.vision_config.num_hidden_layers)
-        # backbone params live under the model's 'backbone' scope; the
-        # visual_projection/post_layernorm do too (ClipVisionTower owns them)
+        # the tower lives at params['backbone'] (ConceptHash/finegrained) or
+        # params['backbone']['tower'] (Trunk-wrapped baselines)
         out = dict(init_params)
-        out["backbone"] = merge_ported(init_params["backbone"], ported)
+        bb = init_params["backbone"]
+        if "tower" in bb:
+            out["backbone"] = dict(bb)
+            out["backbone"]["tower"] = merge_ported(bb["tower"], ported)
+        else:
+            out["backbone"] = merge_ported(bb, ported)
         logging.info("loaded pretrained CLIP vision weights from %s", name)
         return out
     except Exception as e:  # offline / no cache

@@ -1,11 +1,12 @@
-"""Baseline hashing architectures over the shared (adapter-tuned) CLIP trunk.
+"""Baseline hashing architectures over a shared configurable trunk.
 
-The reference's baseline zoo all follows one shape — frozen backbone feature
--> linear hash head -> method-specific classifier (reference
-models/arch/{orthohash,csq,dpn,ce,gh,pairwise}.py) — so here it is one
-configurable flax module. The trunk feature is the post-layernorm CLS token
-(what HF's ``pooler_output`` gives the reference's *WithAdapter variants,
-e.g. models/arch/orthohash.py:127)."""
+The reference's baseline zoo all follows one shape — (frozen, adapter-tuned)
+backbone feature -> linear hash head -> method-specific classifier (reference
+models/arch/{orthohash,csq,dpn,ce,gh,pairwise}.py) — so here it is one flax
+module over the unified Trunk (CLIP ViT / generic ViT / ResNet / identity,
+models/trunk.py). The CLIP feature is the post-layernorm CLS token, matching
+HF ``pooler_output`` used by the reference's *WithAdapter variants (e.g.
+models/arch/orthohash.py:127)."""
 
 from __future__ import annotations
 
@@ -15,8 +16,9 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig, ClipVisionTower
+from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
 from concepthash_tpu.models.layers import CodeBatchNorm, CosSim, sign_ste
+from concepthash_tpu.models.trunk import Trunk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,27 +33,33 @@ class BaselineConfig:
 
 
 class BaselineHashNet(nn.Module):
-    vision_cfg: ClipVisionConfig
-    cfg: BaselineConfig
+    vision_cfg: Optional[ClipVisionConfig] = None  # clip trunk (default)
+    cfg: BaselineConfig = BaselineConfig()
     adapters: Optional[AdapterConfig] = AdapterConfig()
     codebook: Optional[jnp.ndarray] = None  # fixed (nclass, nbit) for orthohash
+    backbone_cfg: Optional[dict] = None     # full trunk spec (family etc.)
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, images, train: bool = False, output_attentions: bool = False):
+        from concepthash_tpu.models.trunk import trunk_from_config
+
         c = self.cfg
-        enc = ClipVisionTower(self.vision_cfg, adapters=self.adapters,
-                              dtype=self.dtype, name="backbone")(
-            images, output_attentions=output_attentions)
-        # post-LN CLS (= HF pooler_output pre-projection)
-        feat = nn.LayerNorm(epsilon=self.vision_cfg.layer_norm_eps,
-                            dtype=self.dtype, name="feat_ln")(enc["cls_prenorm"])
+        if self.backbone_cfg is not None and self.backbone_cfg.get("family", "clip") != "clip":
+            trunk = trunk_from_config(self.backbone_cfg, self.adapters,
+                                      self.dtype, name="backbone")
+        else:
+            trunk = Trunk(family="clip", vision_cfg=self.vision_cfg,
+                          adapters=self.adapters, dtype=self.dtype,
+                          name="backbone")
+        enc = trunk(images, train=train, output_attentions=output_attentions)
+        feat = enc["features"]
 
         head = c.head
         out = {}
         if head == "descriptor":
-            out["codes"] = feat.astype(jnp.float32)
+            out["codes"] = feat
             return out
 
         use_bias = c.hash_bias or head in ("pairwise", "ce", "greedyhash",
@@ -81,7 +89,7 @@ class BaselineHashNet(nn.Module):
             out["logits"] = nn.Dense(c.nclass, dtype=self.dtype,
                                      name="ce_fc")(b).astype(jnp.float32)
         elif head == "unsup_greedyhash":
-            out["features"] = feat.astype(jnp.float32)
+            out["features"] = feat
             out["codes_bin"] = sign_ste(codes)
         elif head in ("csq", "dpn", "pairwise"):
             pass  # codes only

@@ -42,6 +42,10 @@ class ClipVisionConfig:
     projection_dim: int = 512
     layer_norm_eps: float = 1e-5
     hidden_act: str = "quick_gelu"
+    # generic-ViT compatibility flags (timm/HF ViT: biased patch embed,
+    # plain gelu, no pre-layernorm; CLIP: the defaults below)
+    patch_bias: bool = False
+    use_pre_layernorm: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -200,9 +204,10 @@ class ClipVisionTower(nn.Module):
         c = self.cfg
         B, Hh, Ww, _ = pixel_values.shape
         x = nn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
-                    strides=(c.patch_size, c.patch_size), use_bias=False,
-                    dtype=self.dtype, name="patch_embedding")(
-            pixel_values.astype(self.dtype))
+                    strides=(c.patch_size, c.patch_size), use_bias=c.patch_bias,
+                    padding="VALID",  # torch Conv2d semantics; SAME would
+                    dtype=self.dtype,  # silently pad non-divisible inputs
+                    name="patch_embedding")(pixel_values.astype(self.dtype))
         n_patches = (Hh // c.patch_size) * (Ww // c.patch_size)
         x = x.reshape(B, n_patches, c.hidden_size)
 
@@ -219,8 +224,9 @@ class ClipVisionTower(nn.Module):
         if extra_tokens is not None:
             x = jnp.concatenate([x, extra_tokens.astype(self.dtype)], axis=1)
 
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                         name="pre_layernorm")(x)
+        if c.use_pre_layernorm:
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                             name="pre_layernorm")(x)
 
         attns = []
         hiddens = [x] if output_hidden_states else None
@@ -235,12 +241,13 @@ class ClipVisionTower(nn.Module):
                 hiddens.append(x)
 
         cls_out = x[:, 0, :]
-        pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                              name="post_layernorm")(cls_out)
+        cls_postnorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                                    name="post_layernorm")(cls_out)
         pooled = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
-                          name="visual_projection")(pooled)
+                          name="visual_projection")(cls_postnorm)
 
-        out = {"last_hidden_state": x, "pooled": pooled, "cls_prenorm": cls_out}
+        out = {"last_hidden_state": x, "pooled": pooled,
+               "cls_prenorm": cls_out, "cls_postnorm": cls_postnorm}
         if output_attentions:
             out["attentions"] = tuple(attns)
         if output_hidden_states:

@@ -32,7 +32,8 @@ def make_config(name, **crit):
 
 
 SGD_METHODS = ["concepthash", "orthohash", "csq", "dpn", "hashnet", "dpsh",
-               "dtsh", "greedyhash", "unsup_greedyhash", "ce"]
+               "dtsh", "greedyhash", "unsup_greedyhash", "ce", "a2net_ce",
+               "semicon_ce"]
 
 
 @pytest.mark.parametrize("name", SGD_METHODS)
@@ -193,3 +194,42 @@ def test_maxmin_codebook():
     d = 0.5 * (16 - cb @ cb.T) / 16
     off = d[~np.eye(6, dtype=bool)]
     assert off.min() > 0.15
+
+
+@pytest.mark.parametrize("backbone", [
+    {"family": "resnet", "depth": 18},
+    {"family": "vit", "hidden_size": 32, "intermediate_size": 64,
+     "num_layers": 2, "num_heads": 4, "patch_size": 8, "image_size": 16,
+     "projection_dim": 32},
+])
+def test_alternative_trunks(backbone, rng):
+    cfg = make_config("csq")
+    cfg["backbone"] = backbone
+    method = M.get_method("csq")
+    codebook = M.prepare_codebook(method, cfg)
+    model = method.build_model(cfg, codebook)
+    loss_fn = method.build_loss(cfg, codebook)
+    sample = jnp.zeros((4, 16, 16, 3))
+    k = jax.random.PRNGKey(0)
+    tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 2, 2,
+                         model.init({"params": k}, sample, train=True)["params"],
+                         1.0)
+    state = create_train_state(model, tx, sample, k)
+    step = make_train_step(model, loss_fn, tx, donate=False)
+    y = rng.integers(0, 4, 4)
+    batch = {"image": jnp.asarray(rng.standard_normal((4, 16, 16, 3)), jnp.float32),
+             "label": jnp.asarray(np.eye(4, dtype=np.float32)[y])}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_identity_trunk(rng):
+    cfg = make_config("ce")
+    cfg["backbone"] = {"family": "identity"}
+    method = M.get_method("ce")
+    model = method.build_model(cfg, None)
+    feats = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    out = model.apply(vs, feats, train=False)
+    assert out["codes"].shape == (4, 16)
+    assert out["logits"].shape == (4, 4)
