@@ -27,10 +27,12 @@ class ImageSource:
     (fine-grained galleries are small: CUB 5,994 images ~1.2 GB at 256²)."""
 
     def __init__(self, dataset: HashingDataset, resize: int = 256,
-                 cache: bool = False, workers: int = 0):
+                 cache: bool = False, workers: int = 0,
+                 native_decode: bool = False):
         self.dataset = dataset
         self.resize = resize
         self.workers = workers or default_workers
+        self.native_decode = native_decode
         self._cache = None
         if cache:
             self._cache = [None] * len(dataset)
@@ -38,7 +40,8 @@ class ImageSource:
     def get(self, i: int) -> np.ndarray:
         if self._cache is not None and self._cache[i] is not None:
             return self._cache[i]
-        img = load_image_host(self.dataset.image_path(i), self.resize)
+        img = load_image_host(self.dataset.image_path(i), self.resize,
+                              use_native=self.native_decode)
         if self._cache is not None:
             self._cache[i] = img
         return img
@@ -64,9 +67,11 @@ class Loader:
                  resize: int = 256, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, cache: bool = False,
                  workers: int = 0, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 native_decode: bool = False):
         self.dataset = dataset
-        self.source = ImageSource(dataset, resize, cache=cache, workers=workers)
+        self.source = ImageSource(dataset, resize, cache=cache, workers=workers,
+                                  native_decode=native_decode)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last

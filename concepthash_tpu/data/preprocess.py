@@ -121,11 +121,25 @@ def preprocess_batch(images, rng, crop: int = 224, norm: int = 2,
 # host-side decode (PIL) — short-side resize + center crop to a static square
 # ---------------------------------------------------------------------------
 
-def load_image_host(path: str, resize: int = 256):
-    """Decode + short-side bicubic resize + center crop to (resize, resize, 3)
-    uint8. Centered crops commute, so a later device center-crop to
-    ``crop`` equals torchvision Resize(resize)+CenterCrop(crop)."""
+def load_image_host(path: str, resize: int = 256, use_native: bool = False):
+    """Decode + short-side resize + center crop to (resize, resize, 3) uint8.
+    Centered crops commute, so a later device center-crop to ``crop`` equals
+    torchvision Resize(resize)+CenterCrop(crop).
+
+    ``use_native`` routes through the C++ libjpeg/libpng kernel (bilinear,
+    DCT-scaled JPEG decode — concepthash_tpu/native); default is PIL bicubic
+    for torchvision parity."""
     import numpy as np
+
+    if use_native:
+        from concepthash_tpu import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        arr = native.decode_resize_crop(data, resize)
+        if arr is not None:
+            return arr
+
     from PIL import Image
 
     with Image.open(path) as im:

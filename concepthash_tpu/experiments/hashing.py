@@ -109,11 +109,15 @@ class RetrievalExperiment:
         resize = int(ds.get("resize", 256))
         cache = bool(cfg.get("cache_images", len(self.datasets["train"]) < 20000))
         seed = int(cfg.get("seed", 42))
+        native = bool(cfg.get("native_decode", False))
         self.loaders = {
             "train": Loader(self.datasets["train"], bs, resize=resize,
-                            shuffle=True, drop_last=True, seed=seed, cache=cache),
-            "test": Loader(self.datasets["test"], bs, resize=resize, cache=cache),
-            "db": Loader(self.datasets["db"], bs, resize=resize, cache=cache),
+                            shuffle=True, drop_last=True, seed=seed,
+                            cache=cache, native_decode=native),
+            "test": Loader(self.datasets["test"], bs, resize=resize,
+                           cache=cache, native_decode=native),
+            "db": Loader(self.datasets["db"], bs, resize=resize, cache=cache,
+                         native_decode=native),
         }
         self.crop = int(ds.get("crop", 224))
         self.norm = int(ds.get("norm", 2))

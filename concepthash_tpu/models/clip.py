@@ -46,6 +46,7 @@ class ClipVisionConfig:
     # plain gelu, no pre-layernorm; CLIP: the defaults below)
     patch_bias: bool = False
     use_pre_layernorm: bool = True
+    attention_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     @property
     def num_patches(self) -> int:
@@ -108,10 +109,15 @@ class Adapter(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """CLIP-style MHA (bias on q/k/v/out). Returns (out, probs|None)."""
+    """CLIP-style MHA (bias on q/k/v/out). Returns (out, probs|None).
+
+    ``attention_impl``: 'xla' (einsum path, required when probabilities are
+    requested), 'pallas' (fused VMEM kernel, ops/attention.py), or 'auto'
+    (pallas on TPU when probs are not needed)."""
 
     num_heads: int
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
@@ -123,9 +129,16 @@ class MultiHeadAttention(nn.Module):
         k = dense("k_proj")(x).reshape(B, L, H, hd)
         v = dense("v_proj")(x).reshape(B, L, H, hd)
         scale = hd ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
+        if output_attentions or self.attention_impl == "xla":
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
+        else:
+            from concepthash_tpu.ops.attention import attention
+
+            out = attention(q, k, v, impl=self.attention_impl).reshape(B, L, D)
+            probs = None
         out = dense("out_proj")(out)
         return out, (probs if output_attentions else None)
 
@@ -143,12 +156,14 @@ class EncoderLayer(nn.Module):
     act: str = "quick_gelu"
     adapters: Optional[AdapterConfig] = None
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
         res = x
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
-        h, probs = MultiHeadAttention(self.num_heads, self.dtype, name="self_attn")(
+        h, probs = MultiHeadAttention(self.num_heads, self.dtype,
+                                      self.attention_impl, name="self_attn")(
             h, output_attentions)
         if self.adapters is not None and self.adapters.after_attention:
             h = h + Adapter(self.adapters, self.dtype, name="adapter_attn")(h)
@@ -234,6 +249,7 @@ class ClipVisionTower(nn.Module):
             x, probs = EncoderLayer(c.num_heads, c.intermediate_size,
                                     c.layer_norm_eps, c.hidden_act,
                                     self.adapters, self.dtype,
+                                    c.attention_impl,
                                     name=f"layers_{i}")(x, output_attentions)
             if output_attentions:
                 attns.append(probs)
