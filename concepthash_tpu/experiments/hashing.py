@@ -172,6 +172,17 @@ class RetrievalExperiment:
         out_attn = self.method.needs_attentions(cfg)
 
         def train_pp(images, prng):
+            if self.method.two_view:
+                # contrastive methods train on two augmentations per image
+                # (reference trainers/base_contrastive.py:6-47)
+                k1, k2 = jax.random.split(prng)
+                v1 = preprocess_batch(images, k1, crop=self.crop,
+                                      norm=self.norm, train=True,
+                                      augment=self.augment)
+                v2 = preprocess_batch(images, k2, crop=self.crop,
+                                      norm=self.norm, train=True,
+                                      augment=self.augment)
+                return jnp.concatenate([v1, v2], axis=0)
             return preprocess_batch(images, prng, crop=self.crop,
                                     norm=self.norm, train=True,
                                     augment=self.augment)
@@ -190,11 +201,28 @@ class RetrievalExperiment:
         self.steps_per_epoch = steps_per_epoch
 
     # ------------------------------------------------------------------ train
+    def _prepare_structure(self):
+        """SSDH: build the pairwise semantic structure from initial features
+        (reference trainers/ssdh.py:9-12 precomputes before epoch 1)."""
+        from concepthash_tpu.losses.unsupervised import ssdh_structure
+
+        feats, _, _ = self.encode_split("train")
+        alpha = float((self.config.get("criterion") or {}).get("alpha", 2.0))
+        self._structure = ssdh_structure(feats["codes"], alpha=alpha)
+        logging.info("ssdh structure: %.1f%% positive, %.1f%% negative",
+                     100 * (self._structure > 0).mean(),
+                     100 * (self._structure < 0).mean())
+
     def train_one_epoch(self, ep: int) -> dict:
+        if self.method.needs_structure and not hasattr(self, "_structure"):
+            self._prepare_structure()
         meters = MeterBank()
         t0 = time.time()
         for batch in self.loaders["train"]:
             n = batch.pop("n_valid")
+            if self.method.needs_structure:
+                idx = batch["index"]
+                batch["aux"] = self._structure[np.ix_(idx, idx)]
             self.state, metrics = self.train_step(self.state,
                                                   shard_batch(batch, self.mesh))
             meters.update_device(metrics, n)

@@ -38,6 +38,8 @@ class Method:
     codebook: Optional[str] = None     # None | 'signed' | 'continuous'
     regime: str = "sgd"                # sgd | shallow | adsh
     unsupervised: bool = False
+    two_view: bool = False             # train batches = two augmented views
+    needs_structure: bool = False      # precompute pairwise structure (SSDH)
     needs_attentions: Callable = lambda cfg: False
 
     def wants_index(self):
@@ -191,6 +193,24 @@ register_method(Method(
 register_method(Method(
     "semicon_ce", functools.partial(_build_finegrained, "semicon_ce"),
     _simple_loss(L.semicon_ce_loss)))
+
+# unsupervised family (reference trainers/{cibhash,bihalf,ssdh}.py — their
+# loss/arch modules are absent upstream; implemented from the papers,
+# losses/unsupervised.py)
+from concepthash_tpu.losses import unsupervised as U  # noqa: E402
+
+register_method(Method(
+    "cibhash", functools.partial(_build_baseline, "pairwise"),
+    _simple_loss(U.cibhash_loss), unsupervised=True, two_view=True))
+register_method(Method(
+    "bihalf", functools.partial(_build_baseline, "unsup_greedyhash"),
+    _simple_loss(U.bihalf_loss), unsupervised=True, two_view=True))
+register_method(Method(
+    "ssdh", functools.partial(_build_baseline, "pairwise"),
+    # eval batches carry no structure -> loss degenerates to 0 there
+    lambda config, codebook: (lambda outputs, batch: U.ssdh_loss(
+        outputs, batch["label"], S_batch=batch.get("aux"))),
+    unsupervised=True, needs_structure=True))
 
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):

@@ -33,7 +33,7 @@ def make_config(name, **crit):
 
 SGD_METHODS = ["concepthash", "orthohash", "csq", "dpn", "hashnet", "dpsh",
                "dtsh", "greedyhash", "unsup_greedyhash", "ce", "a2net_ce",
-               "semicon_ce"]
+               "semicon_ce", "cibhash", "bihalf"]
 
 
 @pytest.mark.parametrize("name", SGD_METHODS)
