@@ -69,6 +69,11 @@ class RetrievalExperiment:
         print_stats()
         save_config(config, os.path.join(self.logdir, "config.yaml"))
 
+        from concepthash_tpu.utils.diagnostics import StepProfiler, apply_debug_flags
+
+        apply_debug_flags(config.get("debug"))
+        self.profiler = StepProfiler(config.get("profile"), self.logdir)
+
         self.method: Method = get_method(config["model"]["name"])
         self.multiclass = bool(config.get("dataset", {}).get("multiclass", False))
 
@@ -223,8 +228,10 @@ class RetrievalExperiment:
             if self.method.needs_structure:
                 idx = batch["index"]
                 batch["aux"] = self._structure[np.ix_(idx, idx)]
+            self.profiler.step_start()
             self.state, metrics = self.train_step(self.state,
                                                   shard_batch(batch, self.mesh))
+            self.profiler.step_end()
             meters.update_device(metrics, n)
         res = meters.materialize()
         res["time"] = time.time() - t0
@@ -330,30 +337,41 @@ class RetrievalExperiment:
             return self._main_shallow()
         if self.method.regime == "adsh":
             return self._main_adsh()
+        from concepthash_tpu.utils.diagnostics import guarded_training
+
         cfg = self.config
         eval_interval = int(cfg.get("eval_interval", 10))
         save_interval = int(cfg.get("save_interval", 0))
-        for ep in range(self.start_epoch, self.epochs):
-            train_res = self.train_one_epoch(ep)
-            self.train_history.append({"ep": ep, **train_res})
-            logging.info("ep %d train: loss=%.4f (%.1fs, lr %.2e)", ep,
-                         train_res.get("loss", float("nan")),
-                         train_res["time"], train_res["lr"])
-            is_last = ep == self.epochs - 1
-            if is_last or (eval_interval > 0 and (ep + 1) % eval_interval == 0):
-                res, dumps = self.evaluation(ep)
-                self.test_history.append(res)
-                metric = res.get(self.eval_metric)
-                better = (self.best_metric is None or
-                          (metric > self.best_metric if self.higher_is_better
-                           else metric < self.best_metric))
-                if metric is not None and better:
-                    self.best_metric = metric
-                    self.save_model("best", ep)
-                    self._dump_codes(dumps)
-            self.save_model("last", ep)
-            if save_interval and (ep + 1) % save_interval == 0:
-                self.save_model(f"ep{ep + 1}", ep)
+        with guarded_training() as guard:
+            for ep in range(self.start_epoch, self.epochs):
+                train_res = self.train_one_epoch(ep)
+                self.train_history.append({"ep": ep, **train_res})
+                logging.info("ep %d train: loss=%.4f (%.1fs, lr %.2e)", ep,
+                             train_res.get("loss", float("nan")),
+                             train_res["time"], train_res["lr"])
+                is_last = ep == self.epochs - 1
+                if is_last or (eval_interval > 0 and
+                               (ep + 1) % eval_interval == 0):
+                    res, dumps = self.evaluation(ep)
+                    self.test_history.append(res)
+                    metric = res.get(self.eval_metric)
+                    better = (self.best_metric is None or
+                              (metric > self.best_metric
+                               if self.higher_is_better
+                               else metric < self.best_metric))
+                    if metric is not None and better:
+                        self.best_metric = metric
+                        self.save_model("best", ep)
+                        self._dump_codes(dumps)
+                self.save_model("last", ep)
+                if save_interval and (ep + 1) % save_interval == 0:
+                    self.save_model(f"ep{ep + 1}", ep)
+                if guard.should_stop:  # preemption: checkpointed; stop clean
+                    logging.warning("stopping at epoch %d (preemption); "
+                                    "resume with resume_logdir=%s", ep,
+                                    self.logdir)
+                    break
+        self.profiler.close()
         io.join_save_queue()
         logging.info("done: best %s = %s", self.eval_metric, self.best_metric)
         return self.best_metric
