@@ -153,3 +153,53 @@ def seeding(seed: int):
 
     np.random.seed(seed)
     random.seed(seed)
+
+
+class ArrayDataset:
+    """In-memory (features, labels) dataset — the reference's
+    ``engine.tensor_to_dataset(s)`` adapters (engine.py:64-116), used for
+    precomputed-feature / identity-backbone workflows."""
+
+    def __init__(self, features: np.ndarray, labels: np.ndarray,
+                 num_classes: int = 0):
+        assert len(features) == len(labels)
+        self.features = np.asarray(features)
+        self.labels = np.asarray(labels)
+        self.num_classes = num_classes or (
+            self.labels.shape[1] if self.labels.ndim == 2
+            else int(self.labels.max()) + 1)
+
+    def __len__(self):
+        return len(self.features)
+
+    def onehot_labels(self) -> np.ndarray:
+        if self.labels.ndim == 2:
+            return self.labels.astype(np.float32)
+        return np.eye(self.num_classes, dtype=np.float32)[self.labels]
+
+
+def array_loader(dataset: ArrayDataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0) -> Iterator[dict]:
+    """Batched iterator over an ArrayDataset (same dict schema as Loader,
+    'image' carries the feature array)."""
+    n = len(dataset)
+    idxs = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idxs)
+    onehot = dataset.onehot_labels()
+    nb = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(nb):
+        sel = idxs[b * batch_size:(b + 1) * batch_size]
+        feats = dataset.features[sel]
+        labels = onehot[sel]
+        n_valid = len(sel)
+        if n_valid < batch_size:
+            pad = batch_size - n_valid
+            feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]),
+                                                    feats.dtype)])
+            labels = np.concatenate([labels,
+                                     np.zeros((pad, labels.shape[1]),
+                                              labels.dtype)])
+            sel = np.concatenate([sel, np.full(pad, -1)])
+        yield {"image": feats, "label": labels, "index": sel.astype(np.int32),
+               "n_valid": n_valid}

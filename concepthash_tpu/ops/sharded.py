@@ -1,0 +1,58 @@
+"""Sharded-gallery retrieval: the multi-chip serving path (SURVEY.md §5.8).
+
+The gallery's codes are sharded along the mesh 'data' axis; each chip scores
+queries against its shard and keeps a local top-k, then the (ndev * k)
+candidates are all-gathered over ICI and re-ranked locally — O(Q * k * ndev)
+communication instead of O(Q * N) distances. mAP-style full-ranking metrics
+go through ``calculate_mAP`` with a sharded db array instead (XLA inserts the
+gather before the global sort).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_gallery(db_codes, mesh: Mesh, axis: str = "data"):
+    """Place (N, nbit) codes sharded over ``axis`` (pads N to the axis size)."""
+    import numpy as np
+
+    n = db_codes.shape[0]
+    size = mesh.shape[axis]
+    pad = (-n) % size
+    if pad:
+        # padded rows get all-zero codes at +inf-like distance handled by
+        # callers via the returned n
+        db_codes = np.concatenate(
+            [np.asarray(db_codes),
+             np.zeros((pad, db_codes.shape[1]), np.asarray(db_codes).dtype)])
+    return jax.device_put(jnp.asarray(db_codes),
+                          NamedSharding(mesh, P(axis, None))), n
+
+
+def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
+                      exact: bool = False, axis: str = "data"):
+    """Returns fn(query_codes (Q, nbit) replicated, db_sharded (N, nbit))
+    -> (distances (Q, k), global indices (Q, k))."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk
+
+    def local_fn(q, db_shard):
+        # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block
+        d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
+        shard = jax.lax.axis_index(axis)
+        gidx = idx + shard * db_shard.shape[0]
+        dd = jax.lax.all_gather(d, axis, axis=1, tiled=True)      # (Q, ndev*k)
+        gg = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        neg, sel = jax.lax.top_k(-dd, k)
+        return -neg, jnp.take_along_axis(gg, sel, axis=1)
+
+    # check_vma=False: outputs ARE replicated (identical all-gather + local
+    # re-rank on every shard) but that can't be statically inferred
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))

@@ -1,0 +1,63 @@
+"""Sharded-gallery retrieval over the 8-device mesh: distributed top-k merge
+equals single-device exact retrieval; sharded mAP equals unsharded."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from concepthash_tpu.ops.retrieval import calculate_mAP, retrieve_topk
+from concepthash_tpu.ops.sharded import make_sharded_topk, shard_gallery
+from concepthash_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_sharded_topk_matches_exact(rng, mesh):
+    N, Q, nbit, k = 640, 16, 32, 10
+    db = np.sign(rng.standard_normal((N, nbit))).astype(np.float32)
+    q = rng.standard_normal((Q, nbit)).astype(np.float32)
+
+    db_sharded, n_real = shard_gallery(db, mesh)
+    assert n_real == N
+    fn = make_sharded_topk(mesh, k=k, exact=True)
+    d_sh, idx_sh = fn(jnp.asarray(q), db_sharded)
+
+    d_ref, idx_ref = retrieve_topk(q, db, k=k, method="mxu", exact=True)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-4)
+    # distance multisets must agree even when ties reorder indices:
+    # recompute distances of the returned indices
+    full = 0.5 * (nbit - np.sign(q) @ np.sign(db).T)
+    got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
+    np.testing.assert_allclose(np.sort(got, 1), np.sort(np.asarray(d_ref), 1),
+                               atol=1e-4)
+
+
+def test_sharded_gallery_padding(rng, mesh):
+    N = 637  # not divisible by 8
+    db = np.sign(rng.standard_normal((N, 16))).astype(np.float32)
+    db_sharded, n_real = shard_gallery(db, mesh)
+    assert n_real == N
+    assert db_sharded.shape[0] == 640
+
+
+def test_map_with_sharded_db_matches(rng, mesh):
+    N, Q, nbit = 64, 16, 16
+    db = rng.standard_normal((N, nbit)).astype(np.float32)
+    q = rng.standard_normal((Q, nbit)).astype(np.float32)
+    dbl = np.eye(4, dtype=np.float32)[rng.integers(0, 4, N)]
+    ql = np.eye(4, dtype=np.float32)[rng.integers(0, 4, Q)]
+
+    ref = calculate_mAP(db, dbl, q, ql, R=-1, PRs=(1, 5))
+
+    db_dev = jax.device_put(jnp.asarray(db), NamedSharding(mesh, P("data", None)))
+    dbl_dev = jax.device_put(jnp.asarray(dbl), NamedSharding(mesh, P("data", None)))
+    sh = calculate_mAP(db_dev, dbl_dev, q, ql, R=-1, PRs=(1, 5))
+
+    assert sh[0] == pytest.approx(ref[0], abs=1e-6)
+    np.testing.assert_allclose(sh[1], ref[1], atol=1e-6)
+    np.testing.assert_allclose(sh[2], ref[2], atol=1e-6)
