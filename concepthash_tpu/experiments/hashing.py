@@ -196,7 +196,15 @@ class RetrievalExperiment:
             return preprocess_batch(images, jax.random.PRNGKey(0),
                                     crop=self.crop, norm=self.norm, train=False)
 
-        if self.method.regime == "sgd":
+        if self.method.init_extra is not None:
+            self.state = jax.device_get(self.state)
+            self.state = self.method.init_extra(self.state, cfg)
+            self.state = replicate(self.state, self.mesh)
+        if self.method.custom_step is not None:
+            self.train_step = self.method.custom_step(
+                self.model, cfg, self.tx, train_pp,
+                epochs * steps_per_epoch)
+        elif self.method.regime == "sgd":
             self.train_step = make_train_step(
                 self.model, self.loss_fn, self.tx, mesh=self.mesh,
                 output_attentions=out_attn, preprocess_fn=train_pp)

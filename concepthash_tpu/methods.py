@@ -41,6 +41,10 @@ class Method:
     two_view: bool = False             # train batches = two augmented views
     needs_structure: bool = False      # precompute pairwise structure (SSDH)
     needs_attentions: Callable = lambda cfg: False
+    # EMA-teacher pretraining hooks (moco/dino): build a custom jitted step
+    # and initialize TrainState.extra
+    custom_step: Optional[Callable] = None   # (model, cfg, tx, pp, steps)->fn
+    init_extra: Optional[Callable] = None    # (state, cfg) -> state
 
     def wants_index(self):
         return self.regime == "adsh"
@@ -211,6 +215,65 @@ register_method(Method(
     lambda config, codebook: (lambda outputs, batch: U.ssdh_loss(
         outputs, batch["label"], S_batch=batch.get("aux"))),
     unsupervised=True, needs_structure=True))
+
+# EMA-teacher pretraining (reference trainers/{moco,dino}.py — loss modules
+# absent upstream; objectives per the papers, train/pretrain_steps.py)
+
+def _build_pretrain(with_predictor, config, codebook):
+    from concepthash_tpu.models.pretrain import PretrainConfig, ProjectorNet
+
+    m = config["model"]
+    vcfg, acfg = _vision_and_adapters(config)
+    pcfg = PretrainConfig(proj_dim=int(m.get("proj_dim", m.get("nbit", 64))),
+                          hidden_dim=int(m.get("hidden_dim", 256)),
+                          with_predictor=with_predictor)
+    return ProjectorNet(vcfg, pcfg, adapters=acfg,
+                        backbone_cfg=config.get("backbone"))
+
+
+def _moco_step(model, config, tx, preprocess_fn, total_steps):
+    from concepthash_tpu.train.pretrain_steps import make_moco_step
+
+    crit = config.get("criterion", {}) or {}
+    return make_moco_step(model, tx, preprocess_fn,
+                          base_momentum=float(crit.get("momentum", 0.99)),
+                          temperature=float(crit.get("temperature", 0.2)),
+                          total_steps=total_steps)
+
+
+def _dino_step(model, config, tx, preprocess_fn, total_steps):
+    from concepthash_tpu.train.pretrain_steps import make_dino_step
+
+    crit = config.get("criterion", {}) or {}
+    return make_dino_step(model, tx, preprocess_fn,
+                          momentum=float(crit.get("momentum", 0.996)),
+                          center_momentum=float(crit.get("center_momentum", 0.9)),
+                          tau_s=float(crit.get("tau_s", 0.1)),
+                          tau_t=float(crit.get("tau_t", 0.04)))
+
+
+def _teacher_extra(state, config):
+    from concepthash_tpu.train.pretrain_steps import init_teacher_extra
+
+    return init_teacher_extra(state)
+
+
+def _dino_extra(state, config):
+    from concepthash_tpu.train.pretrain_steps import init_dino_extra
+
+    m = config["model"]
+    return init_dino_extra(state, int(m.get("proj_dim", m.get("nbit", 64))))
+
+
+_null_loss = lambda config, codebook: (
+    lambda outputs, batch: (jnp.float32(0.0), {}))
+
+register_method(Method(
+    "moco", functools.partial(_build_pretrain, True), _null_loss,
+    unsupervised=True, custom_step=_moco_step, init_extra=_teacher_extra))
+register_method(Method(
+    "dino", functools.partial(_build_pretrain, False), _null_loss,
+    unsupervised=True, custom_step=_dino_step, init_extra=_dino_extra))
 
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):

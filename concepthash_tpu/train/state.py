@@ -26,6 +26,8 @@ class TrainState:
     constants: Any
     opt_state: Any
     rng: jax.Array
+    # method-owned auxiliary state (EMA teacher params, DINO center, ...)
+    extra: Any = flax.struct.field(default_factory=dict)
 
     def variables(self) -> dict:
         v = {"params": self.params}
