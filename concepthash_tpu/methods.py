@@ -275,6 +275,35 @@ register_method(Method(
     "dino", functools.partial(_build_pretrain, False), _null_loss,
     unsupervised=True, custom_step=_dino_step, init_extra=_dino_extra))
 
+
+def _build_mae(config, codebook):
+    from concepthash_tpu.models.mae import MAE, MAEConfig
+
+    m = config["model"]
+    b = config.get("backbone", {}) or {}
+    mcfg = MAEConfig(
+        image_size=int(b.get("image_size", config.get("dataset", {})
+                             .get("crop", 224))),
+        patch_size=int(b.get("patch_size", 16)),
+        enc_dim=int(b.get("hidden_size", 768)),
+        enc_layers=int(b.get("num_layers", 12)),
+        enc_heads=int(b.get("num_heads", 12)),
+        dec_dim=int(m.get("dec_dim", 256)),
+        dec_layers=int(m.get("dec_layers", 4)),
+        dec_heads=int(m.get("dec_heads", 8)),
+        mask_ratio=float(m.get("mask_ratio", 0.75)),
+    )
+    return MAE(mcfg)
+
+
+def _mae_loss(config, codebook):
+    from concepthash_tpu.models.mae import mae_loss
+
+    return lambda outputs, batch: mae_loss(outputs, batch["label"])
+
+
+register_method(Method("mae", _build_mae, _mae_loss, unsupervised=True))
+
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):
     register_method(Method(

@@ -2,6 +2,7 @@
 collapse-resistant (dino center moves)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -56,3 +57,41 @@ def test_dino_step(rng):
         assert np.isfinite(float(metrics["loss"]))
     c1 = np.asarray(jax.device_get(state.extra["center"]))
     assert not np.allclose(c0, c1)  # center updated
+
+
+def test_mae_forward_and_loss(rng):
+    from concepthash_tpu.models.mae import MAE, MAEConfig, mae_loss
+
+    cfg = MAEConfig(image_size=16, patch_size=8, enc_dim=32, enc_layers=2,
+                    enc_heads=4, dec_dim=16, dec_layers=1, dec_heads=4,
+                    mask_ratio=0.5)
+    model = MAE(cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    k = jax.random.PRNGKey(0)
+    vs = model.init({"params": k, "dropout": jax.random.fold_in(k, 1)},
+                    imgs, train=True)
+    out = model.apply(vs, imgs, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    P = cfg.num_patches
+    assert out["recon"].shape == (2, P, cfg.patch_dim)
+    assert out["mask"].shape == (2, P)
+    # mask ratio honored: exactly P - n_keep masked per image
+    n_masked = int(np.asarray(out["mask"]).sum(axis=1)[0])
+    assert n_masked == P - max(1, int(P * 0.5))
+    loss, parts = mae_loss(out, None)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # eval mode: full tokens, codes present, no recon
+    ev = model.apply(vs, imgs, train=False)
+    assert ev["codes"].shape == (2, 32)
+    assert "recon" not in ev
+
+
+def test_mae_loss_only_on_masked(rng):
+    from concepthash_tpu.models.mae import mae_loss
+
+    recon = jnp.zeros((1, 4, 6))
+    target = jnp.ones((1, 4, 6))
+    mask = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    loss, _ = mae_loss({"recon": recon, "target": target, "mask": mask}, None)
+    assert float(loss) == pytest.approx(1.0)
+
