@@ -140,13 +140,21 @@ class RetrievalExperiment:
         except Exception as e:
             logging.warning("codebook stage failed (%s); offline fallback", e)
             from concepthash_tpu.data.manifest import read_class_names
+            from concepthash_tpu.models.backbone_factory import (
+                vision_config_from_backbone_cfg,
+            )
 
             root = os.path.join(cfg.get("data_dir", "."),
                                 cfg["dataset"]["data_folder"])
             names = read_class_names(root)
+            # fallback embedding width: explicit center_dim, else the
+            # image-text joint width of the configured backbone
+            dim = int(cfg["model"].get("center_dim", 0) or
+                      vision_config_from_backbone_cfg(
+                          cfg.get("backbone", {}) or {}).projection_dim)
             self.codebook = prepare_codebook(
                 self.method, cfg, self.logdir,
-                text_embedder=lambda n: offline_text_embedder(n))
+                text_embedder=lambda n: offline_text_embedder(n, dim=dim))
         self.model = self.method.build_model(cfg, self.codebook)
         self.loss_fn = self.method.build_loss(cfg, self.codebook)
 

@@ -78,6 +78,15 @@ def _vision_and_adapters(config):
     return vcfg, acfg
 
 
+def _compute_dtype(config):
+    """``compute_dtype: bfloat16`` runs model math on the MXU at full rate
+    (params stay float32; codes/logits/centers are cast back to f32 inside
+    the models)."""
+    name = str(config.get("compute_dtype", "float32")).lower()
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "f32": jnp.float32}[name]
+
+
 def _build_concepthash(config, codebook):
     m = config["model"]
     upt = m.get("upt_config", {}) or {}
@@ -100,7 +109,8 @@ def _build_concepthash(config, codebook):
         text_projection_dims=tuple(m.get("text_projection_dims", (512,))),
     )
     fixed = jnp.asarray(codebook) if codebook is not None else None
-    return ConceptHash(vcfg, ccfg, adapters=acfg, fixed_center=fixed)
+    return ConceptHash(vcfg, ccfg, adapters=acfg, fixed_center=fixed,
+                       dtype=_compute_dtype(config))
 
 
 def _build_baseline(head, config, codebook, **kw):
@@ -111,7 +121,8 @@ def _build_baseline(head, config, codebook, **kw):
                           ce_cossim=m.get("m_type", "ce") != "ce")
     cb = jnp.asarray(codebook) if codebook is not None else None
     return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb,
-                           backbone_cfg=config.get("backbone"), **kw)
+                           backbone_cfg=config.get("backbone"),
+                           dtype=_compute_dtype(config), **kw)
 
 
 def _criterion_kwargs(config):
@@ -188,7 +199,8 @@ def _build_finegrained(cls_name, config, codebook):
     cls = {"a2net_ce": A2NetCE, "semicon_ce": SemiconCE}[cls_name]
     fixed = jnp.asarray(codebook) if codebook is not None else None
     return cls(vcfg, fcfg, adapters=acfg, fixed_center=fixed,
-               backbone_cfg=config.get("backbone"))
+               backbone_cfg=config.get("backbone"),
+               dtype=_compute_dtype(config))
 
 
 register_method(Method(
@@ -228,7 +240,8 @@ def _build_pretrain(with_predictor, config, codebook):
                           hidden_dim=int(m.get("hidden_dim", 256)),
                           with_predictor=with_predictor)
     return ProjectorNet(vcfg, pcfg, adapters=acfg,
-                        backbone_cfg=config.get("backbone"))
+                        backbone_cfg=config.get("backbone"),
+                        dtype=_compute_dtype(config))
 
 
 def _moco_step(model, config, tx, preprocess_fn, total_steps):
@@ -293,7 +306,7 @@ def _build_mae(config, codebook):
         dec_heads=int(m.get("dec_heads", 8)),
         mask_ratio=float(m.get("mask_ratio", 0.75)),
     )
-    return MAE(mcfg)
+    return MAE(mcfg, dtype=_compute_dtype(config))
 
 
 def _mae_loss(config, codebook):
@@ -303,6 +316,30 @@ def _mae_loss(config, codebook):
 
 
 register_method(Method("mae", _build_mae, _mae_loss, unsupervised=True))
+
+
+def _autoencoder_loss(config, codebook):
+    """Plain reconstruction over ALL patches (reference trainers/
+    autoencoder.py over base_generation — arch absent upstream; expressed as
+    the mask_ratio=0 case of the MAE net)."""
+
+    def loss(outputs, batch):
+        if "recon" not in outputs:
+            return jnp.float32(0.0), {}
+        err = ((outputs["recon"] - outputs["target"]) ** 2).mean()
+        return err, {"recon_mse": err}
+
+    return loss
+
+
+register_method(Method("autoencoder", _build_mae, _autoencoder_loss,
+                       unsupervised=True))
+
+# contrastive CLIP finetune against class-text centers (reference
+# trainers/clip.py; text embeddings come from the codebook 'L' stage)
+register_method(Method(
+    "clip", functools.partial(_build_baseline, "clip"),
+    _simple_loss(L.ce_loss), codebook="continuous"))
 
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):

@@ -61,6 +61,19 @@ class BaselineHashNet(nn.Module):
         if head == "descriptor":
             out["codes"] = feat
             return out
+        if head == "clip":
+            # contrastive finetune vs fixed class-text embeddings (reference
+            # trainers/clip.py:13-117 trains logit_scale + adapters/heads)
+            pooled = enc["pooled"].astype(jnp.float32)  # projected CLS
+            cent = jnp.asarray(self.codebook, jnp.float32)
+            pn = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-12)
+            cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
+            logit_scale = self.param(
+                "logit_scale", lambda *_: jnp.log(jnp.float32(1 / 0.07)), ())
+            out["codes"] = pooled
+            out["logits"] = jnp.exp(logit_scale) * jnp.dot(
+                pn, cn.T, preferred_element_type=jnp.float32)
+            return out
 
         use_bias = c.hash_bias or head in ("pairwise", "ce", "greedyhash",
                                            "unsup_greedyhash")
