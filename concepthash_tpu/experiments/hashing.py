@@ -212,7 +212,7 @@ class RetrievalExperiment:
             self.train_step = self.method.custom_step(
                 self.model, cfg, self.tx, train_pp,
                 epochs * steps_per_epoch)
-        elif self.method.regime == "sgd":
+        elif self.method.regime in ("sgd", "odc"):
             self.train_step = make_train_step(
                 self.model, self.loss_fn, self.tx, mesh=self.mesh,
                 output_attentions=out_attn, preprocess_fn=train_pp)
@@ -234,9 +234,28 @@ class RetrievalExperiment:
                      100 * (self._structure > 0).mean(),
                      100 * (self._structure < 0).mean())
 
+    def _odc_setup(self):
+        """(Re)cluster extracted train features into nclass pseudo-labels."""
+        from sklearn.cluster import KMeans
+
+        feats, _, _ = self.encode_split("train")
+        k = int(self.config["model"]["nclass"])
+        km = KMeans(n_clusters=k, n_init=3,
+                    random_state=int(self.config.get("seed", 42)))
+        labels = km.fit_predict(np.asarray(feats["codes"], np.float64))
+        self._pseudo = np.eye(k, dtype=np.float32)[labels]
+        logging.info("odc: reclustered into %d pseudo-classes "
+                     "(largest %.1f%%)", k,
+                     100 * np.bincount(labels, minlength=k).max() / len(labels))
+
     def train_one_epoch(self, ep: int) -> dict:
         if self.method.needs_structure and not hasattr(self, "_structure"):
             self._prepare_structure()
+        if self.method.regime == "odc":
+            interval = int((self.config.get("criterion") or {})
+                           .get("cluster_interval", 5))
+            if ep > 0 and interval > 0 and ep % interval == 0:
+                self._odc_setup()
         meters = MeterBank()
         t0 = time.time()
         for batch in self.loaders["train"]:
@@ -244,6 +263,8 @@ class RetrievalExperiment:
             if self.method.needs_structure:
                 idx = batch["index"]
                 batch["aux"] = self._structure[np.ix_(idx, idx)]
+            if self.method.regime == "odc":
+                batch["label"] = self._pseudo[batch["index"]]
             self.profiler.step_start()
             self.state, metrics = self.train_step(self.state,
                                                   shard_batch(batch, self.mesh))
@@ -353,6 +374,8 @@ class RetrievalExperiment:
             return self._main_shallow()
         if self.method.regime == "adsh":
             return self._main_adsh()
+        if self.method.regime == "odc":
+            self._odc_setup()
         from concepthash_tpu.utils.diagnostics import guarded_training
 
         cfg = self.config

@@ -341,6 +341,15 @@ register_method(Method(
     "clip", functools.partial(_build_baseline, "clip"),
     _simple_loss(L.ce_loss), codebook="continuous"))
 
+# ODC — online deep clustering pseudo-label training (reference
+# trainers/odc.py:52-171 keeps a faiss-kmeans memory bank updated per
+# iteration; here: sklearn k-means (re)clustering of extracted features every
+# cluster_interval epochs refreshes the pseudo-labels — a documented
+# per-epoch simplification of the online centroid updates)
+register_method(Method(
+    "odc", functools.partial(_build_baseline, "ce"),
+    _simple_loss(L.ce_loss), unsupervised=True, regime="odc"))
+
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):
     register_method(Method(

@@ -108,6 +108,30 @@ class Adapter(nn.Module):
         return h * scale.astype(self.dtype)
 
 
+class PatchEmbedding(nn.Module):
+    """Patch projection with a conv-shaped (p, p, C, D) kernel applied as a
+    flattened matmul (see ClipVisionTower for the MXU rationale)."""
+
+    features: int
+    patch_size: int
+    in_channels: int = 3
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches):  # (B, P, p*p*C)
+        p, C = self.patch_size, self.in_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, C, self.features), jnp.float32)
+        w = kernel.reshape(p * p * C, self.features).astype(self.dtype)
+        out = jnp.dot(patches, w, preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class MultiHeadAttention(nn.Module):
     """CLIP-style MHA (bias on q/k/v/out). Returns (out, probs|None).
 
@@ -217,14 +241,22 @@ class ClipVisionTower(nn.Module):
                  output_attentions: bool = False,
                  output_hidden_states: bool = False):
         c = self.cfg
-        B, Hh, Ww, _ = pixel_values.shape
-        x = nn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
-                    strides=(c.patch_size, c.patch_size), use_bias=c.patch_bias,
-                    padding="VALID",  # torch Conv2d semantics; SAME would
-                    dtype=self.dtype,  # silently pad non-divisible inputs
-                    name="patch_embedding")(pixel_values.astype(self.dtype))
-        n_patches = (Hh // c.patch_size) * (Ww // c.patch_size)
-        x = x.reshape(B, n_patches, c.hidden_size)
+        B, Hh, Ww, C = pixel_values.shape
+        p = c.patch_size
+        gh, gw = Hh // p, Ww // p
+        n_patches = gh * gw
+        # Patch embedding as reshape + matmul instead of a stride-p conv: a
+        # conv with C_in=3 wastes MXU lanes (3 padded to the 128-lane tile);
+        # the equivalent (B*P, p*p*3) @ (p*p*3, D) matmul runs at full rate.
+        # The parameter keeps the conv-kernel HWIO shape so HF weight ports
+        # are unchanged (clip_loader.py); flattening order (ph, pw, C)
+        # matches the HWIO flatten.
+        patches = pixel_values.astype(self.dtype)
+        patches = patches.reshape(B, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, n_patches, p * p * C)
+        emb = PatchEmbedding(c.hidden_size, p, C, c.patch_bias,
+                             dtype=self.dtype, name="patch_embedding")
+        x = emb(patches)
 
         cls = self.param("class_embedding",
                          nn.initializers.normal(0.02), (c.hidden_size,), jnp.float32)
