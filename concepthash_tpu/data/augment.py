@@ -9,7 +9,6 @@ gathers that XLA lowers poorly — documented deviation)."""
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ config-built towers.
 from __future__ import annotations
 
 import logging
-import re
 
 import numpy as np
 

@@ -29,7 +29,6 @@ computed shard-local and XLA inserts the all-gather before the sort.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

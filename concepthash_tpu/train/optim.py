@@ -16,7 +16,6 @@ frozen ViT-B is most of the memory the reference wastes.
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax

@@ -15,13 +15,13 @@ the same jitted step.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from concepthash_tpu.train.state import TrainState, accuracy_metrics
+from concepthash_tpu.train.state import TrainState
 
 
 def _ema(old, new, m):

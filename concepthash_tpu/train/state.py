@@ -15,7 +15,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 @flax.struct.dataclass
@@ -51,13 +51,6 @@ def create_train_state(model, tx, sample_batch, rng,
         opt_state=tx.init(params),
         rng=jax.random.fold_in(rng, 2),
     )
-
-
-def data_parallel_shardings(mesh: Optional[Mesh]):
-    """(replicated, batch-sharded) NamedShardings; (None, None) off-mesh."""
-    if mesh is None:
-        return None, None
-    return (NamedSharding(mesh, P()), NamedSharding(mesh, P("data")))
 
 
 def make_train_step(model, loss_fn: Callable, tx,

@@ -34,13 +34,14 @@ def build(mesh=None, backbone_lr_scale=0.0):
         return lgh_loss(outputs, batch["label"], ncontext=4)
 
     sample = jnp.zeros((8, 16, 16, 3))
-    state0 = create_train_state(model, tx := build_optimizer(
-        {"name": "sgd", "lr": 0.01, "momentum": 0.9},
-        {"name": "csw", "warmup_epochs": 1}, epochs=4, steps_per_epoch=2,
-        params=None if False else model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            sample, train=True)["params"],
-        backbone_lr_scale=backbone_lr_scale), sample, jax.random.PRNGKey(0))
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        sample, train=True)["params"]
+    tx = build_optimizer({"name": "sgd", "lr": 0.01, "momentum": 0.9},
+                         {"name": "csw", "warmup_epochs": 1},
+                         epochs=4, steps_per_epoch=2, params=init_params,
+                         backbone_lr_scale=backbone_lr_scale)
+    state0 = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
     step = make_train_step(model, loss_fn, tx, mesh=mesh)
     return model, loss_fn, state0, step
 
