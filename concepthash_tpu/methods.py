@@ -341,6 +341,54 @@ register_method(Method(
     "clip", functools.partial(_build_baseline, "clip"),
     _simple_loss(L.ce_loss), codebook="continuous"))
 
+# TBH — adversarial twin-bottleneck hashing (models/tbh.py); critic params
+# and optimizer ride in TrainState.extra
+def _build_tbh(config, codebook):
+    from concepthash_tpu.models.tbh import TBHConfig, TBHNet
+
+    m = config["model"]
+    vcfg, acfg = _vision_and_adapters(config)
+    tcfg = TBHConfig(nbit=int(m["nbit"]), zdim=int(m.get("zdim", m["nbit"])),
+                     hidden=int(m.get("hidden_dim", 256)))
+    return TBHNet(vcfg, tcfg, adapters=acfg,
+                  backbone_cfg=config.get("backbone"),
+                  dtype=_compute_dtype(config))
+
+
+def _tbh_disc_and_tx(config):
+    import optax
+
+    from concepthash_tpu.models.tbh import Discriminator
+
+    crit = config.get("criterion", {}) or {}
+    return Discriminator(), optax.adam(float(crit.get("disc_lr", 1e-4)))
+
+
+def _tbh_step(model, config, tx, preprocess_fn, total_steps):
+    from concepthash_tpu.train.pretrain_steps import make_tbh_step
+
+    crit = config.get("criterion", {}) or {}
+    disc, disc_tx = _tbh_disc_and_tx(config)
+    return make_tbh_step(model, tx, disc, disc_tx, preprocess_fn,
+                         adv_weight=float(crit.get("adv_weight", 1.0)))
+
+
+def _tbh_extra(state, config):
+    import jax as _jax
+
+    from concepthash_tpu.train.pretrain_steps import init_tbh_extra
+
+    disc, disc_tx = _tbh_disc_and_tx(config)
+    m = config["model"]
+    zdim = int(m.get("zdim", m["nbit"]))
+    return init_tbh_extra(state, disc, disc_tx, zdim,
+                          _jax.random.PRNGKey(int(config.get("seed", 42)) + 9))
+
+
+register_method(Method("tbh", _build_tbh, _null_loss, unsupervised=True,
+                       custom_step=_tbh_step, init_extra=_tbh_extra))
+
+
 # ODC — online deep clustering pseudo-label training (reference
 # trainers/odc.py:52-171 keeps a faiss-kmeans memory bank updated per
 # iteration; here: sklearn k-means (re)clustering of extracted features every

@@ -137,3 +137,68 @@ def make_dino_step(model, tx, preprocess_fn: Callable,
         return new_state, {"loss": loss}
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# TBH: adversarial twin-bottleneck (reference trainers/tbh.py:59-67 splits
+# actor/critic backward passes; discriminator params+opt ride in extra)
+# ---------------------------------------------------------------------------
+
+def init_tbh_extra(state: TrainState, disc, disc_tx, zdim: int, rng) -> TrainState:
+    dparams = disc.init(rng, jnp.zeros((1, zdim)))["params"]
+    return state.replace(extra={"disc": dparams,
+                                "disc_opt": disc_tx.init(dparams)})
+
+
+def make_tbh_step(model, tx, disc, disc_tx, preprocess_fn: Callable,
+                  adv_weight: float = 1.0, donate: bool = True):
+    import optax as _optax
+
+    def bce(logits, target):
+        return (jax.nn.relu(logits) - logits * target +
+                jnp.log1p(jnp.exp(-jnp.abs(logits)))).mean()
+
+    def step_fn(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+        imgs = preprocess_fn(batch["image"], jax.random.fold_in(rng, 7))
+
+        # ---- actor: reconstruction + fool the (frozen) discriminator ----
+        def actor_loss(params):
+            vars_in = {"params": params}
+            if state.constants:
+                vars_in["constants"] = state.constants
+            out = model.apply(vars_in, imgs, train=True,
+                              rngs={"dropout": rng})
+            rec = ((out["recon"] -
+                    jax.lax.stop_gradient(out["features"])) ** 2).mean()
+            d_fake = disc.apply({"params": state.extra["disc"]}, out["z"])
+            adv = bce(d_fake, jnp.ones_like(d_fake))  # want D to say "real"
+            return rec + adv_weight * adv, (rec, adv, out["z"])
+
+        (loss, (rec, adv, z)), grads = jax.value_and_grad(
+            actor_loss, has_aux=True)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        params = _optax.apply_updates(state.params, updates)
+
+        # ---- critic: uniform prior vs encoder z ----
+        prior = jax.random.uniform(jax.random.fold_in(rng, 11), z.shape)
+        zs = jax.lax.stop_gradient(z)
+
+        def critic_loss(dparams):
+            d_real = disc.apply({"params": dparams}, prior)
+            d_fake = disc.apply({"params": dparams}, zs)
+            return bce(d_real, jnp.ones_like(d_real)) + \
+                bce(d_fake, jnp.zeros_like(d_fake))
+
+        dloss, dgrads = jax.value_and_grad(critic_loss)(state.extra["disc"])
+        dupd, dopt = disc_tx.update(dgrads, state.extra["disc_opt"],
+                                    state.extra["disc"])
+        dparams = _optax.apply_updates(state.extra["disc"], dupd)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt,
+                                  extra={"disc": dparams, "disc_opt": dopt})
+        return new_state, {"loss": loss, "rec": rec, "adv": adv,
+                           "disc": dloss}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
