@@ -70,18 +70,25 @@ def compute_distances(query_codes, db_codes, dist_metric: str = "hamming",
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dist_metric", "threshold", "Rs",
-                                             "ks", "drop_first"))
+                                             "ks", "drop_first", "use_rel"))
 def _chunk_stats(q_codes, q_labels, q_valid, db_codes, db_labels,
                  dist_metric: str, threshold: float,
-                 Rs: tuple, ks: tuple, drop_first: bool):
+                 Rs: tuple, ks: tuple, drop_first: bool,
+                 rel_chunk=None, use_rel: bool = False):
     """Per-query-chunk metrics. Returns dict of (C,)-shaped arrays.
 
     Rs: tuple of cutoff ranks for AP; ks: precision/recall cutoffs.
+    rel_chunk (use_rel=True): explicit (C, N) relevance overriding label
+    matching (GLDv2-style landmark ground truth, SURVEY.md §2.6).
     """
     dist = compute_distances(q_codes, db_codes, dist_metric, threshold)
     dist = dist.astype(jnp.float32)
-    rel = (jnp.dot(q_labels.astype(jnp.float32), db_labels.astype(jnp.float32).T,
-                   preferred_element_type=jnp.float32) > 0)
+    if use_rel:
+        rel = rel_chunk.astype(bool)
+    else:
+        rel = (jnp.dot(q_labels.astype(jnp.float32),
+                       db_labels.astype(jnp.float32).T,
+                       preferred_element_type=jnp.float32) > 0)
 
     order = jnp.argsort(dist, axis=1, stable=True)  # ties -> db index
     rel_sorted = jnp.take_along_axis(rel, order, axis=1)
@@ -125,11 +132,14 @@ def calculate_mAP(db_codes, db_labels, query_codes, query_labels, R=-1,
                   dist_metric: str = "hamming", PRs=(1, 5, 10),
                   threshold: float = 0.0, remove_first_retrieved: bool = False,
                   zero_mean: bool = False, chunk_size: int | None = None,
-                  multiclass: bool = False, onehot: bool = True, **_ignored):
+                  multiclass: bool = False, onehot: bool = True,
+                  rel_matrix=None, **_ignored):
     """Reference-parity retrieval scoring.
 
     Returns ``(mAP, recalls, precisions)`` — mAP is a float (or list when R is
     a list); recalls/precisions are lists aligned with ``PRs``.
+    ``rel_matrix`` (Q, N) bool: explicit relevance (landmark ground truth)
+    instead of label matching.
     """
     db_codes = jnp.asarray(db_codes, dtype=jnp.float32)
     query_codes = jnp.asarray(query_codes, dtype=jnp.float32)
@@ -151,15 +161,20 @@ def calculate_mAP(db_codes, db_labels, query_codes, query_labels, R=-1,
         e = min(s + chunk, nq)
         qc = query_codes[s:e]
         ql = query_labels[s:e]
+        rc = (jnp.asarray(rel_matrix[s:e], jnp.float32)
+              if rel_matrix is not None else None)
         valid = np.ones(e - s, np.float32)
         if e - s < chunk:  # pad to static shape
             pad = chunk - (e - s)
             qc = jnp.pad(qc, ((0, pad), (0, 0)))
             ql = jnp.pad(ql, ((0, pad), (0, 0)))
+            if rc is not None:
+                rc = jnp.pad(rc, ((0, pad), (0, 0)))
             valid = np.concatenate([valid, np.zeros(pad, np.float32)])
         stats = _chunk_stats(qc, ql, jnp.asarray(valid), db_codes, db_labels,
                              dist_metric, float(threshold), Rs, ks,
-                             bool(remove_first_retrieved))
+                             bool(remove_first_retrieved),
+                             rel_chunk=rc, use_rel=rc is not None)
         for k, v in stats.items():
             acc[k] = acc.get(k, 0.0) + float(jnp.sum(v))
 

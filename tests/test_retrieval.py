@@ -207,3 +207,18 @@ def test_retrieve_topk_matches_bruteforce(rng):
     for i in range(8):
         hits += sum(1 for d in np.asarray(d_apx)[i] if d <= d_sorted[i, -1] + 1e-4)
     assert hits >= 0.9 * 8 * 10
+
+
+def test_explicit_relevance_matrix(rng):
+    """GLDv2-style landmark ground truth: relevance given explicitly instead
+    of by label matching."""
+    q, db, ql, dbl = make_data(rng)
+    label_rel = ((ql @ dbl.T) > 0)
+    a = calculate_mAP(db, dbl, q, ql, R=-1, PRs=(1, 5))
+    b = calculate_mAP(db, dbl, q, ql, R=-1, PRs=(1, 5),
+                      rel_matrix=label_rel)
+    assert b[0] == pytest.approx(a[0], abs=1e-6)
+    # a different relevance definition changes the score
+    c = calculate_mAP(db, dbl, q, ql, R=-1, PRs=(1,),
+                      rel_matrix=~label_rel)
+    assert c[0] != pytest.approx(a[0], abs=1e-3)
