@@ -43,7 +43,8 @@ def _fetch(out):
 
     leaf = jax.tree_util.tree_leaves(out)[-1]
     if hasattr(leaf, "__array__"):
-        np.asarray(leaf[..., :1])  # tiny D2H fetch = completion fence
+        # tiny D2H fetch = completion fence
+        np.asarray(leaf if getattr(leaf, "ndim", 0) == 0 else leaf[..., :1])
 
 
 def bench_retrieval(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
@@ -117,6 +118,49 @@ def bench_encode(jax, jnp, batch: int, tiny: bool):
     return batch / sec
 
 
+def bench_train_step(jax, jnp, batch: int, tiny: bool):
+    """Full ConceptHash train step (fwd+bwd+adam) images/sec."""
+    from concepthash_tpu.losses.concepthash import lgh_loss
+    from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
+    from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
+    from concepthash_tpu.train.optim import build_optimizer
+    from concepthash_tpu.train.state import create_train_state, make_train_step
+
+    if tiny:
+        vcfg = ClipVisionConfig(hidden_size=64, intermediate_size=128,
+                                num_layers=2, num_heads=4, image_size=32,
+                                patch_size=8, projection_dim=32)
+        ccfg = ConceptHashConfig(nbit=16, nclass=10, ncontext=4, center_dim=32,
+                                 text_projection_dims=(32,))
+    else:
+        vcfg = ClipVisionConfig()
+        ccfg = ConceptHashConfig(nbit=64, nclass=200)
+    center = np.zeros((ccfg.nclass, ccfg.center_dim), np.float32)
+    model = ConceptHash(vcfg, ccfg, adapters=AdapterConfig(),
+                        fixed_center=jnp.asarray(center), dtype=jnp.bfloat16)
+    imgs = jnp.zeros((batch, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                        imgs, train=True)["params"]
+    tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 100, 100, params,
+                         backbone_lr_scale=0.0)
+    state = create_train_state(model, tx, imgs, rng)
+    loss_fn = lambda out, b: lgh_loss(out, b["label"], ncontext=ccfg.ncontext)
+    step = make_train_step(model, loss_fn, tx, donate=False)
+    y = np.eye(ccfg.nclass, dtype=np.float32)[
+        np.random.default_rng(0).integers(0, ccfg.nclass, batch)]
+    b = {"image": imgs, "label": jnp.asarray(y)}
+
+    holder = {"state": state}
+
+    def run():
+        holder["state"], metrics = step(holder["state"], b)
+        return metrics["loss"]
+
+    sec = time_it(run, warmup=1, iters=3)
+    return batch / sec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -142,6 +186,11 @@ def main():
     except Exception as e:  # encode bench is auxiliary
         print(f"encode bench failed: {e}", file=sys.stderr)
         enc = None
+    try:
+        trn = bench_train_step(jax, jnp, min(batch, 256), tiny=args.smoke)
+    except Exception as e:
+        print(f"train bench failed: {e}", file=sys.stderr)
+        trn = None
 
     result = {
         "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery",
@@ -152,6 +201,7 @@ def main():
         "cpu_numpy_qps": round(cpu_qps, 1),
         "encode_img_per_s": round(enc, 1) if enc else None,
         "encode_batch": batch,
+        "train_img_per_s": round(trn, 1) if trn else None,
     }
     print(json.dumps(result))
 

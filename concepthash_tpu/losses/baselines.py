@@ -28,7 +28,8 @@ from concepthash_tpu.ops.retrieval import get_sim, log_trick
 def orthohash_loss(outputs, onehot, ce: float = 1.0, s: float = 8.0,
                    m: float = 0.2, m_type: str = "cos", quan: float = 0.0,
                    quan_type: str = "cs", multiclass: bool = False,
-                   multiclass_loss: str = "label_smoothing", **_):
+                   multiclass_loss: str = "label_smoothing",
+                   codebook=None, **_):
     logits, codes = outputs["logits"], outputs["codes"]
     if multiclass:
         ml = (margin_logits(logits, onehot, m, s) if m_type == "cos"
@@ -55,7 +56,19 @@ def orthohash_loss(outputs, onehot, ce: float = 1.0, s: float = 8.0,
     else:
         q = jnp.float32(0.0)
     parts = {"ce": loss_ce, "quan": q}
+    if codebook is not None:
+        parts["hacc"] = hamming_accuracy(codes, codebook, onehot)
     return ce * loss_ce + quan * q, parts
+
+
+def hamming_accuracy(codes, codebook, onehot):
+    """Argmin-Hamming-to-codebook class accuracy meter (reference
+    trainers/orthohash.py:362-370 / utils/metrics.py:18-29)."""
+    from concepthash_tpu.ops.hamming import get_hamm_dist
+
+    dist = get_hamm_dist(jax.lax.stop_gradient(codes), codebook)
+    return jax.lax.stop_gradient(
+        (dist.argmin(-1) == onehot.argmax(-1)).astype(jnp.float32).mean())
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +92,9 @@ def csq_loss(outputs, onehot, codebook, lambda_q: float = 1e-4,
     loss_c = -(t * jnp.log(jnp.clip(p, eps, 1.0)) +
                (1 - t) * jnp.log(jnp.clip(1 - p, eps, 1.0))).mean()
     loss_q = ((jnp.abs(codes) - 1.0) ** 2).mean()
-    return loss_c + lambda_q * loss_q, {"center": loss_c, "quant": loss_q}
+    parts = {"center": loss_c, "quant": loss_q,
+             "hacc": hamming_accuracy(codes, codebook, onehot)}
+    return loss_c + lambda_q * loss_q, parts
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +111,9 @@ def dpn_loss(outputs, onehot, codebook, sl: float = 1.0, margin: float = 1.0,
         center = codebook[onehot.argmax(-1)]
         loss_sl = jax.nn.relu(margin - codes * center).sum(-1).mean()
     loss_reg = (codes ** 2).mean()
-    return sl * loss_sl + reg * loss_reg, {"sl": loss_sl, "reg": loss_reg}
+    parts = {"sl": loss_sl, "reg": loss_reg,
+             "hacc": hamming_accuracy(codes, codebook, onehot)}
+    return sl * loss_sl + reg * loss_reg, parts
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,8 @@ def lgh_loss(outputs: dict, onehot, margin: float = 0.2, scale: float = 8.0,
              loss_scales: dict | None = None, lmbd: float = 0.5,
              avg_before_softmax: bool = False, div_method: int = 1,
              div_min: float = 0.0, ncontext: int = 4, nregs: int = 0,
-             avg_attn: bool = False, concept_cossim: bool = True):
+             avg_attn: bool = False, concept_cossim: bool = True,
+             exponential_scale: float = 0.0, **_ignored):
     scales = dict(DEFAULT_SCALES)
     scales.update(loss_scales or {})
     parts = {}
@@ -46,13 +47,20 @@ def lgh_loss(outputs: dict, onehot, margin: float = 0.2, scale: float = 8.0,
         total += scales["logits"] * parts["aux"]
 
     if on("concept_logits"):
+        lc = outputs["logits_concept"]  # (Q, B, C)
+        norm = onehot / jnp.clip(onehot.sum(-1, keepdims=True), 1e-12)
         if concept_cossim:
-            parts["concept"] = margin_ce(outputs["logits_concept"], onehot,
-                                         margin, scale)
+            from concepthash_tpu.losses.common import margin_logits as _ml
+
+            lc = _ml(lc, onehot[None], margin, scale)
+        logp = jax.nn.log_softmax(lc, axis=-1)
+        per_concept = -(norm[None] * logp).sum(-1).mean(-1)  # (Q,)
+        if exponential_scale > 0:
+            # later concepts weighted higher (reference models/loss/coop.py:79-83)
+            w = jnp.exp(-jnp.arange(ncontext - 1, -1, -1) / exponential_scale)
+            parts["concept"] = (w * per_concept).sum()
         else:
-            norm = onehot / jnp.clip(onehot.sum(-1, keepdims=True), 1e-12)
-            logp = jax.nn.log_softmax(outputs["logits_concept"], axis=-1)
-            parts["concept"] = -(norm[None] * logp).sum(-1).mean()
+            parts["concept"] = per_concept.mean()
         total += scales["concept_logits"] * parts["concept"]
 
     if on("filip_logits"):
@@ -75,7 +83,8 @@ def lgh_loss(outputs: dict, onehot, margin: float = 0.2, scale: float = 8.0,
         parts["bin"] = margin_ce(outputs["logits_bin"], onehot, margin, scale)
         total += scales["bin_logits"] * parts["bin"]
 
-    if on("attn_div_loss"):
+    if on("attn_div_loss") and "attn_cache" in outputs:
+        # eval forwards skip the attention materialization (opt-in only)
         parts["attn_div"] = attention_diversity(outputs["attn_cache"], ncontext,
                                                 nregs, div_method, div_min, avg_attn)
         total += scales["attn_div_loss"] * parts["attn_div"]

@@ -104,6 +104,7 @@ def _build_concepthash(config, codebook):
         ensemble_method=upt.get("ensemble_method", "concat"),
         concept_reg=bool(m.get("concept_reg", True)),
         concept_cossim=bool(m.get("concept_cossim", True)),
+        vpt_pe=bool(m.get("vpt_pe", False)),
         learnable_center=codebook is None,
         center_dim=int(codebook.shape[1]) if codebook is not None else 512,
         text_projection_dims=tuple(m.get("text_projection_dims", (512,))),

@@ -53,6 +53,7 @@ def adapter_config_from_model_cfg(model_cfg: dict) -> AdapterConfig | None:
         bottleneck_dim=int(model_cfg.get("adapter_bottleneck_dim", 384)),
         after_attention=bool(model_cfg.get("adapter_mlp_1", True)),
         after_mlp=bool(model_cfg.get("adapter_mlp_2", True)),
+        attention_qkvo=bool(model_cfg.get("attention_adapter", False)),
     )
 
 

@@ -74,12 +74,15 @@ class ClipTextConfig:
 @dataclasses.dataclass(frozen=True)
 class AdapterConfig:
     """Bottleneck adapters added in parallel to attention & MLP outputs
-    (reference models/layers/adapter.py:11-60,146-170)."""
+    (reference models/layers/adapter.py:11-60,146-170). ``attention_qkvo``
+    switches to per-projection adapters inside attention instead
+    (q/k/v/out; reference clip_add_attention_adapter_, adapter.py:420-439)."""
 
     bottleneck_dim: int = 384
     after_attention: bool = True   # reference adapt_mlp_1
     after_mlp: bool = True         # reference adapt_mlp_2
     layernorm_in: bool = True
+    attention_qkvo: bool = False
 
 
 def activation(name: str):
@@ -142,13 +145,23 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    adapters: Optional["AdapterConfig"] = None  # q/k/v/out adapters
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
         B, L, D = x.shape
         H = self.num_heads
         hd = D // H
-        dense = lambda name: nn.Dense(D, dtype=self.dtype, name=name)
+        qkvo = self.adapters is not None and self.adapters.attention_qkvo
+
+        def proj(name, inp):
+            y = nn.Dense(D, dtype=self.dtype, name=name)(inp)
+            if qkvo:  # parallel adapter on the projection input
+                y = y + Adapter(self.adapters, self.dtype,
+                                name=f"adapter_{name}")(inp)
+            return y
+
+        dense = lambda name: (lambda inp: proj(name, inp))
         q = dense("q_proj")(x).reshape(B, L, H, hd)
         k = dense("k_proj")(x).reshape(B, L, H, hd)
         v = dense("v_proj")(x).reshape(B, L, H, hd)
@@ -184,12 +197,14 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
+        qkvo = self.adapters is not None and self.adapters.attention_qkvo
         res = x
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
         h, probs = MultiHeadAttention(self.num_heads, self.dtype,
-                                      self.attention_impl, name="self_attn")(
-            h, output_attentions)
-        if self.adapters is not None and self.adapters.after_attention:
+                                      self.attention_impl,
+                                      adapters=self.adapters if qkvo else None,
+                                      name="self_attn")(h, output_attentions)
+        if self.adapters is not None and self.adapters.after_attention and not qkvo:
             h = h + Adapter(self.adapters, self.dtype, name="adapter_attn")(h)
         x = res + h
 
@@ -198,7 +213,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = activation(self.act)(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
-        if self.adapters is not None and self.adapters.after_mlp:
+        if self.adapters is not None and self.adapters.after_mlp and not qkvo:
             h = h + Adapter(self.adapters, self.dtype, name="adapter_mlp")(h)
         x = res + h
         return x, probs
@@ -235,6 +250,11 @@ class ClipVisionTower(nn.Module):
     cfg: ClipVisionConfig
     adapters: Optional[AdapterConfig] = None
     dtype: Any = jnp.float32
+    # VPT: per-layer learnable position prompts added to the trailing
+    # vpt_tokens positions before every encoder layer (reference
+    # clip_add_myvpt_, models/layers/adapter.py:438-452; vpt_pe option of
+    # LGHWithoutText, models/arch/coop.py:206-207)
+    vpt_tokens: int = 0
 
     @nn.compact
     def __call__(self, pixel_values, extra_tokens=None,
@@ -278,6 +298,13 @@ class ClipVisionTower(nn.Module):
         attns = []
         hiddens = [x] if output_hidden_states else None
         for i in range(c.num_layers):
+            if self.vpt_tokens:
+                pe = self.param(f"vpt_pe_{i}",
+                                lambda k, s: 0.02 * jax.random.normal(k, s),
+                                (1, self.vpt_tokens, c.hidden_size))
+                x = jnp.concatenate(
+                    [x[:, :-self.vpt_tokens],
+                     x[:, -self.vpt_tokens:] + pe.astype(self.dtype)], axis=1)
             x, probs = EncoderLayer(c.num_heads, c.intermediate_size,
                                     c.layer_norm_eps, c.hidden_act,
                                     self.adapters, self.dtype,

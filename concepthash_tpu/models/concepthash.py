@@ -44,6 +44,7 @@ class ConceptHashConfig:
     ensemble_method: str = "concat"    # 'concat' | 'avg'
     concept_reg: bool = True
     concept_cossim: bool = True
+    vpt_pe: bool = False               # per-layer prompts on concept tokens
     learnable_center: bool = False     # True -> no text codebook, learn centers
     text_projection_dims: tuple = (512, 512)  # hidden dims; final = nbit
     center_dim: int = 512              # language-embedding width
@@ -101,6 +102,7 @@ class ConceptHash(nn.Module):
 
         # ---- CLIP encoder over [cls; patches; concepts] ----
         backbone = ClipVisionTower(vc, adapters=self.adapters, dtype=self.dtype,
+                                   vpt_tokens=(M + c.nregs) if c.vpt_pe else 0,
                                    name="backbone")
         enc = backbone(images, extra_tokens=ctx,
                        output_attentions=output_attentions)

@@ -166,3 +166,27 @@ def test_position_embedding_resize(hf_model):
     params = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
     out = tower.apply({"params": params}, img)
     assert out["last_hidden_state"].shape == (1, 1 + 36, vcfg.hidden_size)
+
+
+def test_attention_adapters_identity_and_trainable(hf_model):
+    """q/k/v/out projection adapters (reference clip_add_attention_adapter_,
+    models/layers/adapter.py:420-439): identity at init, params present."""
+    vcfg = vision_config_from_hf(hf_model.config.vision_config)
+    plain = ClipVisionTower(vcfg)
+    adapted = ClipVisionTower(vcfg, adapters=AdapterConfig(
+        bottleneck_dim=16, attention_qkvo=True))
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ported = vision_params_from_torch(hf_model.state_dict(), vcfg.num_layers)
+    p0 = merge_ported(plain.init(jax.random.PRNGKey(0), img)["params"], ported)
+    p1 = merge_ported(adapted.init(jax.random.PRNGKey(0), img)["params"], ported)
+    out0 = plain.apply({"params": p0}, img)
+    out1 = adapted.apply({"params": p1}, img)
+    np.testing.assert_allclose(np.asarray(out0["pooled"]),
+                               np.asarray(out1["pooled"]), rtol=1e-5, atol=1e-5)
+    sa = p1["layers_0"]["self_attn"]
+    for k in ("adapter_q_proj", "adapter_k_proj", "adapter_v_proj",
+              "adapter_out_proj"):
+        assert k in sa, sorted(sa)
+    # per-layer adapters are replaced by the attention variant
+    assert "adapter_attn" not in p1["layers_0"]

@@ -147,3 +147,18 @@ def test_avg_ensemble_and_learnable_center():
     assert out["codes"].shape == (2, 16)
     assert out["ensemble_codes"].shape == (2, 4, 16)
     assert "center" in variables["params"]  # learnable
+
+
+def test_vpt_prompts():
+    ccfg = ConceptHashConfig(nbit=16, nclass=5, ncontext=4, num_heads=4,
+                             center_dim=48, text_projection_dims=(48,),
+                             vpt_pe=True)
+    center = np.zeros((5, 48), np.float32)
+    model = ConceptHash(VCFG, ccfg, adapters=None, fixed_center=jnp.asarray(center))
+    imgs = jnp.zeros((2, 32, 32, 3))
+    vs = model.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, imgs, train=True)
+    assert "vpt_pe_0" in vs["params"]["backbone"]
+    assert vs["params"]["backbone"]["vpt_pe_0"].shape == (1, 4, 64)
+    out = model.apply(vs, imgs, train=False)
+    assert out["codes"].shape == (2, 16)
