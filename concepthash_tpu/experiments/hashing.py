@@ -132,6 +132,33 @@ class RetrievalExperiment:
         logging.info("transforms: %s -> augment=%s norm=%d crop=%d",
                      tname, self.augment, self.norm, self.crop)
 
+    def _prepare_filip_tokens(self):
+        """Token-level class-text embeddings for the FILIP variant; offline
+        environments get deterministic pseudo-tokens (loudly logged)."""
+        from concepthash_tpu.data.manifest import read_class_names
+        from concepthash_tpu.models.backbone_factory import (
+            vision_config_from_backbone_cfg,
+        )
+
+        cfg = self.config
+        root = os.path.join(cfg.get("data_dir", "."),
+                            cfg["dataset"]["data_folder"])
+        names = read_class_names(root)
+        try:
+            from concepthash_tpu.train.codebook import embed_class_name_tokens
+
+            te = embed_class_name_tokens(
+                names, cfg.get("backbone", {}).get("name",
+                                                   "openai/clip-vit-base-patch32"))
+        except Exception as e:
+            logging.warning("FILIP token embeddings unavailable (%s); "
+                            "deterministic pseudo-tokens", e)
+            dim = vision_config_from_backbone_cfg(
+                cfg.get("backbone", {}) or {}).projection_dim
+            te = np.stack([offline_text_embedder([f"{n}#{t}" for t in range(8)],
+                                                 dim=dim) for n in names])
+        cfg["model"]["token_embeds_array"] = te
+
     # ---------------------------------------------------------------- method
     def _build_method(self):
         cfg = self.config
@@ -155,6 +182,8 @@ class RetrievalExperiment:
             self.codebook = prepare_codebook(
                 self.method, cfg, self.logdir,
                 text_embedder=lambda n: offline_text_embedder(n, dim=dim))
+        if cfg["model"].get("filip"):
+            self._prepare_filip_tokens()
         self.model = self.method.build_model(cfg, self.codebook)
         self.loss_fn = self.method.build_loss(cfg, self.codebook)
 

@@ -110,7 +110,9 @@ def _build_concepthash(config, codebook):
         text_projection_dims=tuple(m.get("text_projection_dims", (512,))),
     )
     fixed = jnp.asarray(codebook) if codebook is not None else None
+    te = m.get("token_embeds_array")  # injected by the experiment's FILIP stage
     return ConceptHash(vcfg, ccfg, adapters=acfg, fixed_center=fixed,
+                       token_embeds=jnp.asarray(te) if te is not None else None,
                        dtype=_compute_dtype(config))
 
 

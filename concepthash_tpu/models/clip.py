@@ -259,7 +259,8 @@ class ClipVisionTower(nn.Module):
     @nn.compact
     def __call__(self, pixel_values, extra_tokens=None,
                  output_attentions: bool = False,
-                 output_hidden_states: bool = False):
+                 output_hidden_states: bool = False,
+                 project_extra: bool = False):
         c = self.cfg
         B, Hh, Ww, C = pixel_values.shape
         p = c.patch_size
@@ -316,28 +317,23 @@ class ClipVisionTower(nn.Module):
                 hiddens.append(x)
 
         cls_out = x[:, 0, :]
-        cls_postnorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                                    name="post_layernorm")(cls_out)
-        pooled = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
-                          name="visual_projection")(cls_postnorm)
+        post_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                               name="post_layernorm")
+        vproj = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
+                         name="visual_projection")
+        cls_postnorm = post_ln(cls_out)
+        pooled = vproj(cls_postnorm)
 
         out = {"last_hidden_state": x, "pooled": pooled,
                "cls_prenorm": cls_out, "cls_postnorm": cls_postnorm}
+        if project_extra and extra_tokens is not None:
+            n_extra = extra_tokens.shape[1]
+            out["extra_projected"] = vproj(post_ln(x[:, -n_extra:, :]))
         if output_attentions:
             out["attentions"] = tuple(attns)
         if output_hidden_states:
             out["hidden_states"] = tuple(hiddens)
         return out
-
-    def post_project(self, tokens):
-        """post_layernorm + visual_projection applied to arbitrary tokens
-        (used by the hash head when ``use_before_projection=False``)."""
-        c = self.cfg
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                         name="post_layernorm")(tokens)
-        return nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
-                        name="visual_projection")(h)
-
 
 class ClipTextTower(nn.Module):
     """CLIP text transformer (for the language-guided codebook, reference

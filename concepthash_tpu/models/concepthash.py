@@ -80,6 +80,7 @@ class ConceptHash(nn.Module):
     cfg: ConceptHashConfig
     adapters: Optional[AdapterConfig] = AdapterConfig()
     fixed_center: Optional[jnp.ndarray] = None  # (nclass, center_dim) text embeds
+    token_embeds: Optional[jnp.ndarray] = None  # (nclass, T, proj) FILIP texts
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -104,14 +105,21 @@ class ConceptHash(nn.Module):
         backbone = ClipVisionTower(vc, adapters=self.adapters, dtype=self.dtype,
                                    vpt_tokens=(M + c.nregs) if c.vpt_pe else 0,
                                    name="backbone")
+        need_projected = (not c.use_before_projection or
+                          self.token_embeds is not None)
         enc = backbone(images, extra_tokens=ctx,
-                       output_attentions=output_attentions)
-        last = enc["last_hidden_state"]
-        concept_tokens = (last[:, -(M + c.nregs):-c.nregs, :] if c.nregs
-                          else last[:, -M:, :])  # (B, M, D)
+                       output_attentions=output_attentions,
+                       project_extra=need_projected)
 
+        def slice_concepts(tokens):
+            return (tokens[:, -(M + c.nregs):-c.nregs, :] if c.nregs
+                    else tokens[:, -M:, :])
+
+        concept_tokens = slice_concepts(enc["last_hidden_state"])  # (B, M, D)
+        projected_concepts = (slice_concepts(enc["extra_projected"])
+                              if need_projected else None)
         if not c.use_before_projection:
-            concept_tokens = backbone.post_project(concept_tokens)
+            concept_tokens = projected_concepts
 
         # ---- per-concept sub-codes ----
         feat_dim = concept_tokens.shape[-1]
@@ -178,4 +186,22 @@ class ConceptHash(nn.Module):
 
         if output_attentions:
             outputs["attn_cache"] = enc["attentions"]
+
+        # ---- FILIP token-level image<->text logits (optional) ----
+        # reference LGHWithFixedPromptFILIP (models/arch/coop.py:628-678):
+        # projected concept tokens vs per-class text-token embeddings;
+        # max over text tokens then mean over concepts (i2t) and vice versa.
+        if self.token_embeds is not None:
+            tok = self.variable(
+                "constants", "token_embeds",
+                lambda: jnp.asarray(self.token_embeds, jnp.float32)).value
+            hf = projected_concepts.astype(jnp.float32)  # (B, M, proj)
+            hf = hf / (jnp.linalg.norm(hf, axis=-1, keepdims=True) + 1e-12)
+            tf = tok / (jnp.linalg.norm(tok, axis=-1, keepdims=True) + 1e-12)
+            sim = jnp.einsum("bmd,ctd->bcmt", hf.astype(jnp.float32), tf)
+            i2t = sim.max(axis=-1).mean(axis=-1)   # max text tok, mean concepts
+            t2i = sim.max(axis=-2).mean(axis=-1)   # max concepts, mean text tok
+            outputs["logits_filip_i2t"] = i2t
+            outputs["logits_filip_t2i"] = t2i
+            outputs["logits_filip"] = 0.5 * (i2t + t2i)
         return outputs

@@ -254,3 +254,42 @@ def load_or_create_codebook(cache_path: str, **kwargs) -> np.ndarray:
     cb = get_codebook(**kwargs)
     io.save_checkpoint({"codebook": cb}, cache_path)
     return cb
+
+
+def embed_class_name_tokens(class_names: list,
+                            model_id: str = "openai/clip-vit-base-patch32",
+                            prompt_prefix: str = "a photo of a ",
+                            prompt_postfix: str = "",
+                            batch_size: int = 100) -> np.ndarray:
+    """Token-level text embeddings for the FILIP variant (reference
+    LGHWithFixedPromptFILIP, models/arch/coop.py:636-649): text tower
+    last_hidden_state projected by text_projection -> (nclass, T, proj)."""
+    from transformers import CLIPModel, CLIPTokenizerFast
+
+    from concepthash_tpu.models.clip import ClipTextTower
+    from concepthash_tpu.models.clip_loader import (
+        merge_ported,
+        text_config_from_hf,
+        text_params_from_torch,
+    )
+
+    if prompt_prefix and not prompt_prefix.endswith(" "):
+        prompt_prefix += " "
+    prompts = [f"{prompt_prefix}{n}{prompt_postfix}" for n in class_names]
+    hf = CLIPModel.from_pretrained(model_id)
+    tcfg = text_config_from_hf(hf.config.text_config)
+    tower = ClipTextTower(tcfg)
+    init = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]
+    params = merge_ported(init, text_params_from_torch(hf.state_dict(),
+                                                       tcfg.num_layers))
+    tok = CLIPTokenizerFast.from_pretrained(model_id)
+    ids = tok(prompts, padding=True, truncation=True, max_length=77,
+              return_tensors="np")["input_ids"].astype(np.int32)
+    proj = params["text_projection"]["kernel"]
+
+    def apply(batch_ids):
+        out = tower.apply({"params": params}, jnp.asarray(batch_ids))
+        return np.asarray(out["last_hidden_state"] @ proj)
+
+    outs = [apply(ids[s:s + batch_size]) for s in range(0, len(ids), batch_size)]
+    return np.concatenate(outs).astype(np.float32)
