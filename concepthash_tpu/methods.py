@@ -98,7 +98,7 @@ def _build_concepthash(config, codebook):
         nregs=int(m.get("nregs", 0)),
         num_heads=int(upt.get("num_heads", 8)),
         dropout=float(upt.get("dropout", 0.1)),
-        add_bn=bool(m.get("add_bn", True)),
+        add_bn=m.get("add_bn", True),  # True | False | "dbn"
         use_before_projection=bool(m.get("use_before_projection", True)),
         hash_pe=bool(upt.get("hash_pe", True)),
         ensemble_method=upt.get("ensemble_method", "concat"),

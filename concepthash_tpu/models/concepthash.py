@@ -38,7 +38,7 @@ class ConceptHashConfig:
     nregs: int = 0                     # extra register tokens (ignored by head)
     num_heads: int = 8                 # hash-query self-attention heads
     dropout: float = 0.1
-    add_bn: bool = True
+    add_bn: object = True            # True | False | "dbn"
     use_before_projection: bool = True  # sub-codes from 768-d tokens (pre proj)
     hash_pe: bool = True
     ensemble_method: str = "concat"    # 'concat' | 'avg'
@@ -136,7 +136,12 @@ class ConceptHash(nn.Module):
             codes = sub_codes.reshape(B, c.nbit)
         else:
             codes = sub_codes.mean(axis=1)
-        if c.add_bn:
+        if c.add_bn == "dbn":
+            from concepthash_tpu.models.layers import DecorrelatedBN
+
+            codes = DecorrelatedBN(groups=M, dtype=self.dtype,
+                                   name="hash_bn")(codes, train)
+        elif c.add_bn:
             codes = CodeBatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
                                   name="hash_bn")(codes, train)
         codes = codes.astype(jnp.float32)

@@ -79,6 +79,59 @@ class CodeBatchNorm(nn.Module):
         )(x)
 
 
+class DecorrelatedBN(nn.Module):
+    """Grouped decorrelated (whitening) batch norm over hash codes —
+    the ``add_bn: 'dbn'`` option (reference models/layers/iternorm.py DBN,
+    used at models/arch/coop.py:342-345 with groups=ncontext).
+
+    Whitening matrix Sigma^{-1/2} per group via Newton-Schulz iteration
+    (IterNorm, Huang et al. 2019) — pure matmuls, MXU-friendly and
+    differentiable; running mean/whitening kept for eval."""
+
+    groups: int = 4
+    momentum: float = 0.9
+    iters: int = 5
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        B, nbit = x.shape
+        G = self.groups
+        d = nbit // G
+        xg = x.astype(jnp.float32).reshape(B, G, d)
+
+        r_mean = self.variable("batch_stats", "mean",
+                               lambda: jnp.zeros((G, d), jnp.float32))
+        r_whiten = self.variable(
+            "batch_stats", "whiten",
+            lambda: jnp.broadcast_to(jnp.eye(d), (G, d, d)).copy())
+
+        if train:
+            mean = xg.mean(axis=0)                      # (G, d)
+            xc = xg - mean[None]
+            cov = jnp.einsum("bgi,bgj->gij", xc, xc) / B
+            cov = cov + self.eps * jnp.eye(d)[None]
+            tr = jnp.trace(cov, axis1=1, axis2=2)[:, None, None]
+            sigma_n = cov / tr
+            p = jnp.broadcast_to(jnp.eye(d), (G, d, d))
+            for _ in range(self.iters):
+                p = 1.5 * p - 0.5 * jnp.einsum(
+                    "gab,gbc,gcd,gde->gae", p, p, p, sigma_n)
+            whiten = p / jnp.sqrt(tr)
+            if not self.is_initializing():
+                r_mean.value = (self.momentum * r_mean.value
+                                + (1 - self.momentum) * mean)
+                r_whiten.value = (self.momentum * r_whiten.value
+                                  + (1 - self.momentum) * whiten)
+        else:
+            mean, whiten = r_mean.value, r_whiten.value
+            xc = xg - mean[None]
+
+        out = jnp.einsum("bgi,gij->bgj", xc, whiten)
+        return out.reshape(B, nbit).astype(self.dtype)
+
+
 class MLP(nn.Module):
     """Dense stack, e.g. the text_projection 512->512->nbit of the canonical
     ConceptHash config (reference configs/model/concept_hash_final_v1_nosa_apt.yaml:38-47)."""

@@ -162,3 +162,39 @@ def test_vpt_prompts():
     assert vs["params"]["backbone"]["vpt_pe_0"].shape == (1, 4, 64)
     out = model.apply(vs, imgs, train=False)
     assert out["codes"].shape == (2, 16)
+
+
+def test_dbn_whitens_codes(rng):
+    """add_bn='dbn' (reference IterNorm DBN): per-group code covariance is
+    approximately identity after whitening."""
+    from concepthash_tpu.models.layers import DecorrelatedBN
+
+    x = jnp.asarray(rng.standard_normal((256, 16)) @
+                    rng.standard_normal((16, 16)), jnp.float32)
+    dbn = DecorrelatedBN(groups=4, iters=7)
+    vs = dbn.init(jax.random.PRNGKey(0), x, True)
+    y, mut = dbn.apply(vs, x, True, mutable=["batch_stats"])
+    y = np.asarray(y).reshape(256, 4, 4)
+    for g in range(4):
+        cov = np.cov(y[:, g, :].T, bias=True)
+        np.testing.assert_allclose(cov, np.eye(4), atol=0.15)
+    # eval mode uses running stats without mutation
+    y2 = dbn.apply({"batch_stats": mut["batch_stats"], **{k: v for k, v in vs.items() if k != "batch_stats"}}, x, False)
+    assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_concepthash_dbn_option():
+    ccfg = ConceptHashConfig(nbit=16, nclass=5, ncontext=4, num_heads=4,
+                             add_bn="dbn", center_dim=48,
+                             text_projection_dims=(48,))
+    center = np.zeros((5, 48), np.float32)
+    model = ConceptHash(VCFG, ccfg, adapters=None,
+                        fixed_center=jnp.asarray(center))
+    imgs = jnp.zeros((8, 32, 32, 3))
+    vs = model.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, imgs, train=True)
+    assert "whiten" in vs["batch_stats"]["hash_bn"]
+    out, _ = model.apply(vs, imgs, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert out["codes"].shape == (8, 16)
