@@ -62,7 +62,7 @@ def bench_retrieval(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
         return [retrieve_topk(q[s:s + chunk], db, k=topk)
                 for s in range(0, n_q, chunk)]
 
-    sec = time_it(run)
+    sec = time_it(run, warmup=2, iters=10)  # relay timing is noisy; average more
     return n_q / sec
 
 
