@@ -43,6 +43,7 @@ def vision_config_from_backbone_cfg(backbone_cfg: dict) -> ClipVisionConfig:
         patch_size=backbone_cfg.get("patch_size", patch),
         image_size=backbone_cfg.get("image_size", img),
         projection_dim=backbone_cfg.get("projection_dim", proj),
+        remat=bool(backbone_cfg.get("remat", False)),
     )
 
 

@@ -47,6 +47,8 @@ class ClipVisionConfig:
     patch_bias: bool = False
     use_pre_layernorm: bool = True
     attention_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    remat: bool = False           # rematerialize encoder layers (trade FLOPs
+                                  # for activation memory on big towers)
 
     @property
     def num_patches(self) -> int:
@@ -298,6 +300,10 @@ class ClipVisionTower(nn.Module):
 
         attns = []
         hiddens = [x] if output_hidden_states else None
+        layer_cls = EncoderLayer
+        if c.remat and not output_attentions:
+            # jax.checkpoint per layer: activations recomputed in backward
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(c.num_layers):
             if self.vpt_tokens:
                 pe = self.param(f"vpt_pe_{i}",
@@ -306,11 +312,11 @@ class ClipVisionTower(nn.Module):
                 x = jnp.concatenate(
                     [x[:, :-self.vpt_tokens],
                      x[:, -self.vpt_tokens:] + pe.astype(self.dtype)], axis=1)
-            x, probs = EncoderLayer(c.num_heads, c.intermediate_size,
-                                    c.layer_norm_eps, c.hidden_act,
-                                    self.adapters, self.dtype,
-                                    c.attention_impl,
-                                    name=f"layers_{i}")(x, output_attentions)
+            x, probs = layer_cls(c.num_heads, c.intermediate_size,
+                                 c.layer_norm_eps, c.hidden_act,
+                                 self.adapters, self.dtype,
+                                 c.attention_impl,
+                                 name=f"layers_{i}")(x, output_attentions)
             if output_attentions:
                 attns.append(probs)
             if output_hidden_states:

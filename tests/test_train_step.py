@@ -129,3 +129,27 @@ def test_param_labels():
     assert labels["backbone"]["layers_0"]["adapter_mlp"]["up"]["kernel"] == "train"
     assert labels["hash_fc"]["kernel"] == "train"
     assert labels["hash_queries"] == "train"
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must not change values — only the backward memory/FLOPs."""
+    from concepthash_tpu.models.clip import ClipVisionConfig, ClipVisionTower
+
+    base = dict(hidden_size=32, intermediate_size=64, num_layers=2,
+                num_heads=4, image_size=16, patch_size=8, projection_dim=32)
+    t0 = ClipVisionTower(ClipVisionConfig(**base))
+    t1 = ClipVisionTower(ClipVisionConfig(**base, remat=True))
+    img = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    params = t0.init(jax.random.PRNGKey(0), img)["params"]
+
+    def loss(tower, p):
+        return (tower.apply({"params": p}, img)["pooled"] ** 2).sum()
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(t0, p))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(t1, p))(params)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    a = jax.tree_util.tree_leaves(g0)
+    b = jax.tree_util.tree_leaves(g1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-6)
