@@ -34,6 +34,7 @@ class ImageSource:
         self.workers = workers or default_workers
         self.native_decode = native_decode
         self._cache = None
+        self._pool = None  # persistent decode pool, created on first use
         if cache:
             self._cache = [None] * len(dataset)
 
@@ -48,8 +49,11 @@ class ImageSource:
 
     def get_many(self, idxs) -> np.ndarray:
         if self.workers > 1 and len(idxs) > 1:
-            with ThreadPoolExecutor(self.workers) as ex:
-                imgs = list(ex.map(self.get, idxs))
+            if self._pool is None:
+                # one pool for the source's lifetime — per-batch pool
+                # construction churns threads on large uncached datasets
+                self._pool = ThreadPoolExecutor(self.workers)
+            imgs = list(self._pool.map(self.get, idxs))
         else:
             imgs = [self.get(i) for i in idxs]
         return np.stack(imgs)

@@ -316,9 +316,21 @@ class RetrievalExperiment:
         bs = int(self.config.get("batch_size", 64))
         for batch in self.loaders[split]:
             n = batch.pop("n_valid")
-            codes, metrics = self.eval_step(self.state,
-                                            shard_batch(batch, self.mesh))
-            if n == bs and metrics:
+            if n == bs:
+                codes, metrics = self.eval_step(self.state,
+                                                shard_batch(batch, self.mesh))
+            else:
+                # Tail batch: evaluate exactly the n valid rows so padded
+                # zeros never enter the loss/accuracy meters — the reference
+                # includes the variable last batch in its meters
+                # (trainers/base.py:275-307). Costs one extra jit trace per
+                # distinct tail size (once per run; unsharded placement —
+                # n may not divide the mesh).
+                tail = {k: (v[:n] if isinstance(v, np.ndarray)
+                            and v.ndim >= 1 and len(v) == bs else v)
+                        for k, v in batch.items()}
+                codes, metrics = self.eval_step(self.state, tail)
+            if metrics:
                 meters.update_device(metrics, n)
             for k, v in codes.items():
                 all_codes.setdefault(k, []).append(np.asarray(v)[:n])
