@@ -48,10 +48,11 @@ def _fetch(out):
 
 
 def bench_retrieval(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
-                    topk: int = 100, chunk: int = 512):
-    """MXU sign-matmul distances + approx_min_k (the serving path,
+                    topk: int = 100, chunk: int = 512, exact: bool = False):
+    """MXU sign-matmul distances + top-k (the serving path,
     ops.retrieval.retrieve_topk; see its docstring for the measured
-    popcount/top_k/approx_min_k tradeoffs)."""
+    popcount/top_k/approx_min_k tradeoffs). exact=True benches the
+    deterministic lax.top_k path instead of approx_min_k (recall 0.95)."""
     from concepthash_tpu.ops.retrieval import retrieve_topk
 
     rng = np.random.default_rng(0)
@@ -59,7 +60,7 @@ def bench_retrieval(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
 
     def run():
-        return [retrieve_topk(q[s:s + chunk], db, k=topk)
+        return [retrieve_topk(q[s:s + chunk], db, k=topk, exact=exact)
                 for s in range(0, n_q, chunk)]
 
     sec = time_it(run, warmup=2, iters=10)  # relay timing is noisy; average more
@@ -178,8 +179,11 @@ def main():
         batch = 1024
 
     qps = bench_retrieval(jnp, jax, n_db, n_q)
+    qps_exact = bench_retrieval(jnp, jax, n_db, n_q, exact=True)
+    # Single-core host NumPy baseline (this box has 1 CPU core), measured on
+    # a cpu_db-entry gallery and scaled linearly to the device gallery size
+    # (the distance pass is O(Q*N); argpartition is O(Q*N) too).
     cpu_qps_raw = bench_retrieval_cpu(cpu_db, min(n_q, 64))
-    # scale the CPU measurement to the device gallery size (linear in N)
     cpu_qps = cpu_qps_raw * (cpu_db / n_db)
     try:
         enc = bench_encode(jax, jnp, batch, tiny=args.smoke)
@@ -198,7 +202,8 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(qps / cpu_qps, 2),
         "backend": backend,
-        "cpu_numpy_qps": round(cpu_qps, 1),
+        "exact_topk_qps": round(qps_exact, 1),
+        "cpu_numpy_qps_1core": round(cpu_qps, 1),
         "encode_img_per_s": round(enc, 1) if enc else None,
         "encode_batch": batch,
         "train_img_per_s": round(trn, 1) if trn else None,
