@@ -176,8 +176,116 @@ def embed_class_names(class_names: list, model_id: str = "openai/clip-vit-base-p
     return np.concatenate(outs).astype(np.float32)
 
 
+def ae_fit(embedding: np.ndarray, nbit: int, method: str = "ae",
+           iters: int = 10000, t: float = 1.0, identity_scale: float = 1.0,
+           seed: int = 42, lr: float = 1e-4,
+           n_induced: int = 1000) -> np.ndarray:
+    """Autoencoder binarizer (reference trainers/orthohash.py:164-252):
+    train encoder/decoder on the class embeddings with
+      MSE reconstruction
+      + exp(-rec/t) * (1 - cos(b, sign(b)))          (quantization)
+      + identity_scale * ||G_target - G_binary||^2    (similarity preservation)
+    where G_target is I (``ae``), the embedding cosine gram (``ae_cossim``),
+    its min-max-rescaled version (``ae_norm_cossim``), or the induced-query
+    gram (``induced_*`` prefix, InducedEncoder :81-91); a ``non`` prefix makes
+    encoder/decoder 2-layer GELU MLPs (:166-177). Full-batch Adam(1e-4),
+    jitted lax.scan over iterations. Returns real-valued targets; caller
+    signs them.
+    """
+    variant = method
+    induced = "induced_" in variant
+    variant = variant.replace("induced_", "")
+    nonlinear = variant.startswith("non")
+    variant = variant.replace("non", "")  # nonae -> ae
+
+    x = jnp.asarray(embedding, jnp.float32)
+    n, d = x.shape
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+
+    def dense_init(k, din, dout):
+        lim = 1.0 / np.sqrt(din)
+        return {"w": jax.random.uniform(k, (din, dout), jnp.float32, -lim, lim),
+                "b": jnp.zeros((dout,), jnp.float32)}
+
+    if nonlinear:
+        params = {"e1": dense_init(ks[0], d, d), "e2": dense_init(ks[1], d, nbit),
+                  "d1": dense_init(ks[2], nbit, d), "d2": dense_init(ks[3], d, d)}
+
+        def enc(p, z):
+            return jax.nn.gelu(z @ p["e1"]["w"] + p["e1"]["b"]) @ p["e2"]["w"] + p["e2"]["b"]
+
+        def dec(p, b):
+            return jax.nn.gelu(b @ p["d1"]["w"] + p["d1"]["b"]) @ p["d2"]["w"] + p["d2"]["b"]
+    else:
+        params = {"e": dense_init(ks[0], d, nbit), "d": dense_init(ks[2], nbit, d)}
+
+        def enc(p, z):
+            return z @ p["e"]["w"] + p["e"]["b"]
+
+        def dec(p, b):
+            return b @ p["d"]["w"] + p["d"]["b"]
+
+    if induced:
+        params["queries"] = jax.random.normal(ks[4], (n_induced, d), jnp.float32)
+
+    def l2n(v):
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+    if not induced:
+        if variant == "ae_cossim":
+            gram_target = l2n(x) @ l2n(x).T
+        elif variant == "ae_norm_cossim":
+            g = l2n(x) @ l2n(x).T
+            gram_target = (g - g.min()) / (g.max() - g.min()) * 2.0 - 1.0
+        else:  # plain ae: orthogonality target
+            gram_target = jnp.eye(n, dtype=jnp.float32)
+    else:
+        gram_target = None  # recomputed from the induced queries each step
+
+    import optax
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        b = enc(p, x)
+        rec = dec(p, b)
+        rec_loss = jnp.mean((x - rec) ** 2, axis=-1)          # (n,)
+        bl2 = l2n(b)
+        if induced:
+            attn_t = l2n(l2n(p["queries"]) @ l2n(x).T)
+            g_t = attn_t @ attn_t.T
+            if variant == "ae_norm_cossim":
+                g_t = (g_t - g_t.min()) / (g_t.max() - g_t.min()) * 2.0 - 1.0
+            qb = enc(p, p["queries"])
+            attn_b = l2n(l2n(qb) @ bl2.T)
+            g_b = attn_b @ attn_b.T
+        else:
+            g_t = gram_target
+            g_b = bl2 @ bl2.T
+        identity_loss = jnp.mean((g_t - g_b) ** 2)
+        quan = 1.0 - jnp.sum(bl2 * l2n(jax.lax.stop_gradient(jnp.sign(b))),
+                             axis=-1)
+        total = (rec_loss.mean()
+                 + jnp.mean(jnp.exp(-rec_loss / t) * quan)
+                 + identity_scale * identity_loss)
+        return total
+
+    @jax.jit
+    def step(carry, _):
+        p, s = carry
+        g = jax.grad(loss_fn)(p)
+        updates, s = tx.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), None
+
+    (params, _), _ = jax.lax.scan(step, (params, opt_state), None,
+                                  length=int(iters))
+    return np.asarray(enc(params, x), np.float32)
+
+
 def binarize_embedding(embedding: np.ndarray, nbit: int, method: str = "pca",
-                       seed: int = 42) -> np.ndarray:
+                       seed: int = 42, **ae_kwargs) -> np.ndarray:
     """Continuous (nclass, D) -> real-valued (nclass, nbit) targets; caller
     signs them (reference trainers/orthohash.py:145-162)."""
     if method == "itq":
@@ -193,8 +301,10 @@ def binarize_embedding(embedding: np.ndarray, nbit: int, method: str = "pca",
         rng = np.random.default_rng(seed)
         idx = rng.permutation(embedding.shape[1])[:nbit]
         return embedding[:, idx].astype(np.float32)
+    if "ae" in method:  # ae / nonae / [induced_]ae[_cossim|_norm_cossim]
+        return ae_fit(embedding, nbit, method=method, seed=seed, **ae_kwargs)
     raise ValueError(f"unknown binary_method {method!r} "
-                     "(supported: itq, pca, pcaw, rand)")
+                     "(supported: itq, pca, pcaw, rand, ae*)")
 
 
 def get_codebook(codebook_method: str, nclass: int, nbit: int, seed: int = 42,
@@ -202,15 +312,29 @@ def get_codebook(codebook_method: str, nclass: int, nbit: int, seed: int = 42,
                  model_id: str = "openai/clip-vit-base-patch32",
                  binary_method: str = "pca", quantized: bool = True,
                  prompt_prefix: str = "a photo of a ", prompt_postfix: str = "",
-                 text_embedder=None, **_ignored) -> np.ndarray:
+                 text_embedder=None, path: str | None = None,
+                 ae_iters: int = 10000, t: float = 1.0,
+                 identity_scale: float = 1.0, **_ignored) -> np.ndarray:
     """Reference-parity codebook factory (trainers/orthohash.py:63-78).
 
     'L' + quantized=False returns raw text embeddings (ConceptHash centers);
     every other path returns a signed (nclass, nbit) ±1 matrix.
     ``text_embedder`` overrides the CLIP text stage (offline testing).
+    'file' loads a user-provided (nclass, D) matrix from ``path`` (.npy or
+    msgpack checkpoint with a 'codebook' key) — signed unless quantized=False.
     """
     rng = np.random.default_rng(seed)
-    if codebook_method == "N":
+    if codebook_method == "file":
+        if path.endswith(".npy"):
+            cb = np.load(path).astype(np.float32)
+        else:
+            from concepthash_tpu.utils import io
+
+            cb = np.asarray(io.load_checkpoint(path)["codebook"], np.float32)
+        assert cb.shape[0] == nclass, (cb.shape, nclass)
+        if not quantized:
+            return cb
+    elif codebook_method == "N":
         cb = rng.standard_normal((nclass, nbit)).astype(np.float32)
     elif codebook_method == "B":
         cb = (rng.random((nclass, nbit)) < 0.5).astype(np.float32) * 2 - 1
@@ -232,7 +356,10 @@ def get_codebook(codebook_method: str, nclass: int, nbit: int, seed: int = 42,
                                           prompt_prefix, prompt_postfix)
         if not quantized:
             return embedding
-        cb = binarize_embedding(embedding, nbit, binary_method, seed)
+        ae_kw = ({"iters": int(ae_iters), "t": float(t),
+                  "identity_scale": float(identity_scale)}
+                 if "ae" in binary_method else {})
+        cb = binarize_embedding(embedding, nbit, binary_method, seed, **ae_kw)
     else:
         raise ValueError(f"unknown codebook_method {codebook_method!r}")
 

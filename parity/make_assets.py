@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Generate the shared parity assets:
+
+- a randomly-initialized tiny HF CLIP checkpoint (torch, save_pretrained)
+  with EXACTLY the geometry of configs/backbone/tiny_test.yaml, so the
+  reference loads it via from_pretrained and the rebuild ports the same
+  weights via clip_loader -> both sides start from IDENTICAL backbone
+  weights (pretrained real CLIP needs network; SURVEY.md §6);
+- a synthetic dataset in the reference manifest format;
+- shared center/codebook matrices (seeded) injected into both sides.
+
+Run: python parity/make_assets.py [--out parity/assets]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+NCLASS = 6
+NBIT = 16
+PROJ_DIM = 32
+
+
+def make_tiny_clip(out_dir: str):
+    import torch
+    from transformers import CLIPConfig, CLIPModel
+
+    cfg = CLIPConfig(
+        projection_dim=PROJ_DIM,
+        text_config={"hidden_size": 32, "intermediate_size": 64,
+                     "num_hidden_layers": 2, "num_attention_heads": 4,
+                     "vocab_size": 1000, "max_position_embeddings": 77,
+                     "projection_dim": PROJ_DIM},
+        vision_config={"hidden_size": 64, "intermediate_size": 128,
+                       "num_hidden_layers": 2, "num_attention_heads": 4,
+                       "image_size": 48, "patch_size": 8,
+                       "projection_dim": PROJ_DIM},
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(cfg)
+    model.save_pretrained(out_dir)
+    n = sum(p.numel() for p in model.parameters())
+    print(f"tiny CLIP checkpoint: {out_dir} ({n / 1e6:.2f}M params)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
+                                                  "assets"))
+    args = ap.parse_args()
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+
+    make_tiny_clip(os.path.join(out, "tiny-clip"))
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from concepthash_tpu.data.synthetic import make_synthetic_dataset
+
+    make_synthetic_dataset(os.path.join(out, "data", "synthetic"),
+                           nclass=NCLASS, per_class_train=12,
+                           per_class_test=6, image_size=64, seed=0)
+    print(f"synthetic dataset: {out}/data/synthetic "
+          f"({NCLASS} classes, 72 train / 36 test / 72 db)")
+
+    rng = np.random.default_rng(123)
+    center = rng.standard_normal((NCLASS, PROJ_DIM)).astype(np.float32)
+    np.save(os.path.join(out, "center.npy"), center)
+
+    cb_n = np.sign(rng.standard_normal((NCLASS, NBIT))).astype(np.float32)
+    cb_n[cb_n == 0] = 1.0
+    np.save(os.path.join(out, "codebook_N.npy"), cb_n)
+
+    # Hadamard rows (CSQ recipe) — deterministic, shared verbatim
+    from scipy.linalg import hadamard
+
+    h = hadamard(NBIT).astype(np.float32)
+    np.save(os.path.join(out, "codebook_H.npy"), h[:NCLASS])
+    print(f"shared center ({center.shape}) + codebooks ({cb_n.shape}) saved")
+
+
+if __name__ == "__main__":
+    main()

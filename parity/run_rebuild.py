@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Run the REBUILD (this repo's main.py, JAX on CPU) on the same parity
+assets, config-matched to parity/run_reference.py: same tiny CLIP checkpoint
+(ported weights -> identical backbone init), same injected center/codebook
+matrices, same data/manifests, same bs/lr/schedule/epochs/seed.
+
+Usage: python parity/run_rebuild.py --method {ce,orthohash,csq,concepthash}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", required=True,
+                    choices=["ce", "orthohash", "csq", "concepthash"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    # force CPU before any jax backend init (tests/conftest.py semantics)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    assets = os.path.abspath(args.assets)
+    clip_dir = os.path.join(assets, "tiny-clip")
+    logdir = args.logdir or os.path.join(HERE, "runs", f"rebuild_{args.method}")
+
+    model_group = {"ce": "ce_adapter", "orthohash": "orthohash_adapter",
+                   "csq": "csq_adapter", "concepthash": "concepthash"}[args.method]
+
+    overrides = [
+        "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
+        "optim=sgd", "transforms=test",
+        f"backbone.name={clip_dir}", "backbone.pretrained=true",
+        "model.nbit=16", "dataset.nclass=6",
+        "batch_size=12", f"epochs={args.epochs}", "eval_interval=10",
+        f"seed={args.seed}",
+        f"scheduler.warmup_epochs={max(args.epochs // 10, 1)}",
+        "model.adapter_bottleneck_dim=8",
+        f"data_dir={assets}", f"logdir={logdir}",
+    ]
+    if args.method == "concepthash":
+        overrides += [
+            "model.text_projection_dims=[32]",
+            "model.fixed_center.codebook_method=file",
+            f"model.fixed_center.path={assets}/center.npy",
+            "model.fixed_center.quantized=false",
+        ]
+    elif args.method == "orthohash":
+        overrides += [
+            "model.codebook.codebook_method=file",
+            f"model.codebook.path={assets}/codebook_N.npy",
+        ]
+    elif args.method == "csq":
+        overrides += [
+            "criterion.codebook.codebook_method=file",
+            f"criterion.codebook.path={assets}/codebook_H.npy",
+        ]
+
+    sys.path.insert(0, REPO)
+    import main as cli
+
+    best = cli.main(overrides)
+
+    with open(os.path.join(logdir, "test_history.json")) as f:
+        hist = json.load(f)
+    print(json.dumps({"method": args.method, "side": "rebuild",
+                      "best_mAP": max(h["mAP"] for h in hist),
+                      "final_mAP": hist[-1]["mAP"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Run the REFERENCE (torch, /root/reference) end-to-end on the shared parity
+assets — its real trainers/models/losses/experiment loop, with only the
+missing externals shimmed (parity/shims: hydra-instantiate, omegaconf
+dot-config, the reconstructed utils package, wandb no-op; see shims/*.py).
+Config composition mirrors the reference YAML groups (configs/train.yaml
+defaults + model group overrides) resolved in Python.
+
+Usage: python parity/run_reference.py --method {ce,orthohash,csq,concepthash}
+           [--epochs 30] [--logdir parity/runs/ref_<method>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REFERENCE = os.environ.get("PARITY_REFERENCE_DIR", "/root/reference")
+
+sys.path.insert(0, os.path.join(HERE, "shims"))
+sys.path.insert(1, REFERENCE)
+
+NCLASS, NBIT, PROJ_DIM = 6, 16, 32
+RESIZE, CROP, NORM = 64, 48, 3
+
+
+def _transforms(train: bool):
+    tf = [
+        {"_target_": "utils.transforms.Resize", "size": RESIZE,
+         "interpolation": {"_target_": "utils.transforms.interpolation",
+                           "_args_": ["bicubic"]}},
+        {"_target_": "utils.transforms.CenterCrop", "size": CROP},
+    ]
+    if train:
+        tf.append({"_target_": "utils.transforms.RandomHorizontalFlip"})
+    tf += [
+        {"_target_": "utils.transforms.ToTensor"},
+        {"_target_": "utils.transforms.normalize_transform", "_args_": [NORM]},
+    ]
+    return tf
+
+
+def _dataset(assets: str):
+    root = os.path.join(assets, "data", "synthetic")
+
+    def split(filename, train):
+        return {"_target_": "utils.datasets.HashingDataset", "root": root,
+                "filename": filename, "transform": _transforms(train),
+                "target_transform": {"_target_": "utils.datasets.OneHot",
+                                     "nclass": NCLASS},
+                "num_classes": NCLASS, "num_shots": 0}
+
+    return {"data_folder": "data/synthetic", "nclass": NCLASS,
+            "multiclass": False, "R": -1, "norm": NORM, "resize": RESIZE,
+            "crop": CROP,
+            "train_dataset": split("train.txt", True),
+            "test_dataset": split("test.txt", False),
+            "db_dataset": split("database.txt", False)}
+
+
+def _model_block(method: str, assets: str, clip_dir: str):
+    """Mirrors the reference model-group YAMLs (configs/model/*.yaml) with the
+    tiny local checkpoint and the shared injected codebooks."""
+    if method == "ce":
+        # configs/model/ce_adapter.yaml, CLIP-vision variant (arch/ce.py CE)
+        return {
+            "model": {"_target_": "models.arch.ce.CE",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "nbit": NBIT, "nclass": NCLASS, "m_type": "ce",
+                      "has_adapter": True, "adapter_bottleneck_dim": 8},
+            "trainer": {"_target_": "trainers.ce.CETrainer"},
+            "criterion": {"_target_": "models.loss.ce.CELoss",
+                          "multiclass": False},
+        }
+    if method == "orthohash":
+        # configs/model/orthohash_adapter.yaml (codebook N -> shared file)
+        return {
+            "model": {"_target_": "models.arch.orthohash.OrthoHash",
+                      "codebook": {"_target_": "parity_assets.load_center",
+                                   "path": os.path.join(assets, "codebook_N.npy")},
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "nbit": NBIT, "nclass": NCLASS,
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "add_bn": True},
+            "trainer": {"_target_": "trainers.orthohash.OrthoHashTrainer"},
+            "criterion": {"_target_": "models.loss.orthohash.OrthoHashLoss",
+                          "ce": 1, "s": 8, "m": 0.2, "m_type": "cos",
+                          "multiclass": False, "quan": 0, "quan_type": "cs",
+                          "multiclass_loss": "label_smoothing"},
+        }
+    if method == "csq":
+        # configs/model/csq_adapter.yaml (codebook H -> shared file)
+        return {
+            "model": {"_target_": "models.arch.csq.CSQ",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.csq.CSQTrainer"},
+            "criterion": {"_target_": "models.loss.csq.CSQLoss",
+                          "multiclass": False, "nbit": NBIT,
+                          "codebook": {"_target_": "parity_assets.load_center",
+                                       "path": os.path.join(assets, "codebook_H.npy")},
+                          "lambda_q": 0.001},
+        }
+    if method == "concepthash":
+        # configs/model/concept_hash_final_v1_nosa_apt.yaml (language center
+        # -> shared continuous center file; text_projection MLP widths scaled
+        # to the tiny tower)
+        return {
+            "model": {"_target_": "models.arch.coop.LGHWithFixedPrompt",
+                      "backbone": {"_target_": "models.backbone.clip.CLIP",
+                                   "name": clip_dir},
+                      "nbit": NBIT, "nclass": NCLASS, "ncontext": 4,
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "upt_config": {"multi": True, "num_heads": 8,
+                                     "dropout": 0.1,
+                                     "ensemble_method": "concat",
+                                     "single_hash_fc": True, "hash_pe": True},
+                      "add_bn": True, "use_before_projection": True,
+                      "fixed_center": {"_target_": "parity_assets.load_center",
+                                       "path": os.path.join(assets, "center.npy")},
+                      "text_projection": {
+                          "_target_": "torch.nn.Sequential",
+                          "_args_": [
+                              {"_target_": "torch.nn.Linear",
+                               "in_features": PROJ_DIM, "out_features": PROJ_DIM},
+                              {"_target_": "torch.nn.ReLU"},
+                              {"_target_": "torch.nn.Linear",
+                               "in_features": PROJ_DIM, "out_features": NBIT},
+                          ]},
+                      "concept_reg": True},
+            "trainer": {"_target_": "trainers.coop.COOPTrainer"},
+            "criterion": {"_target_": "models.loss.coop.LGHLoss",
+                          "margin": 0.2, "scale": 8,
+                          "loss_scales": {"logits": 0, "hash_logits": 0,
+                                          "bin_logits": 1, "cont_logits": 1,
+                                          "l2": 0, "attn_div_loss": 0,
+                                          "concept_logits": 1},
+                          "avg_before_softmax": False, "lmbd": 0.5,
+                          "div_method": 1, "ncontext": 4},
+        }
+    raise ValueError(method)
+
+
+def compose(method: str, assets: str, logdir: str, epochs: int, seed: int):
+    clip_dir = os.path.join(assets, "tiny-clip")
+    cfg = {
+        # configs/train.yaml root defaults
+        "dataset_name": "synthetic", "method_name": method,
+        "backbone_name": "tiny-clip", "transforms_name": "test",
+        "batch_size": 12, "epochs": epochs, "backbone_lr_scale": 0,
+        "dist_metric": "hamming", "exp": "hashing", "tag": "parity",
+        "seed": seed, "work_dir": ".", "data_dir": assets, "wandb": False,
+        "device": "cpu", "eval_interval": 10, "save_interval": 0,
+        "save_training_state": False, "zero_mean_eval": False,
+        "logdir": logdir, "resume_logdir": None, "finetune_path": None,
+        "bypass_oom_error": False,
+        "dataset": _dataset(assets),
+        # configs/optim/sgd.yaml (README run command: optim=sgd) at the
+        # model-group lr override 0.001
+        "optim": {"_target_": "torch.optim.sgd.SGD", "lr": 0.001,
+                  "weight_decay": 0.0005, "momentum": 0.9, "nesterov": False},
+        # configs/scheduler/csw.yaml, warmup scaled to the short run
+        "scheduler": {"_target_": "utils.lr_scheduler.cosine_decay_linear_warmup",
+                      "epochs": epochs, "warmup_epochs": max(epochs // 10, 1)},
+    }
+    cfg.update(_model_block(method, assets, clip_dir))
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", required=True,
+                    choices=["ce", "orthohash", "csq", "concepthash"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    logdir = args.logdir or os.path.join(HERE, "runs", f"ref_{args.method}")
+    assets = os.path.abspath(args.assets)
+
+    import compat
+
+    compat.apply()
+
+    import engine
+
+    engine.default_workers = 0  # single-core container: no fork()ed loaders
+
+    from omegaconf import DictConfig
+    from experiments.train_helper import RetrievalExperiment
+
+    cfg = DictConfig(compose(args.method, assets, logdir,
+                             args.epochs, args.seed))
+    exp = RetrievalExperiment(cfg)
+    exp.main()
+
+    with open(os.path.join(logdir, "test_history.json")) as f:
+        hist = json.load(f)
+    print(json.dumps({"method": args.method, "side": "reference",
+                      "best_mAP": max(h["mAP"] for h in hist),
+                      "final_mAP": hist[-1]["mAP"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,28 @@ def test_trivial_augment_ops_all_run():
         assert out.shape == im.shape
         assert np.isfinite(np.asarray(out)).all(), f"op {i} produced non-finite"
         assert float(np.asarray(out).max()) <= 255.0 + 1e-3
+
+
+def test_multihost_input_sharding(ds_root):
+    """Per-host manifest sharding (SURVEY.md §5.8, pipeline.py process_index
+    slicing): 4 simulated hosts must cover the dataset exactly once, with
+    disjoint shards, regardless of shuffling."""
+    ds = HashingDataset(ds_root, "train.txt", num_classes=3)
+    n = len(ds)
+    shards = []
+    for pi in range(4):
+        loader = Loader(ds, batch_size=4, resize=48, shuffle=True, seed=7,
+                        process_index=pi, process_count=4)
+        idxs = np.concatenate([b["index"][:b["n_valid"]] for b in loader])
+        shards.append(set(int(i) for i in idxs))
+        # every index the shard yields is a real dataset row
+        assert all(0 <= i < n for i in shards[-1])
+    # disjoint
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (shards[a] & shards[b]), (a, b)
+    # complete coverage
+    assert set().union(*shards) == set(range(n))
+    # shard sizes balanced to within one item
+    sizes = sorted(len(s) for s in shards)
+    assert sizes[-1] - sizes[0] <= 1
