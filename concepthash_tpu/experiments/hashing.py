@@ -520,8 +520,17 @@ class RetrievalExperiment:
             return preprocess_batch(images, prng, crop=self.crop, norm=self.norm,
                                     train=True, augment=self.augment)
 
+        # SEMICON's sub-codes are already tanh-activated in the model
+        # (reference models/arch/semicon.py:479-481); csq-style heads emit
+        # raw logits that the objective squashes
+        pre_act = bool(getattr(self.model, "codes_activated", False))
+
+        def act(x):
+            return x if pre_act else np.tanh(x)
+
         def loss_fn(outputs, batch):
-            return adsh_loss(outputs, batch["adsh"], gamma=gamma, nbit=nbit)
+            return adsh_loss(outputs, batch["adsh"], gamma=gamma, nbit=nbit,
+                             apply_tanh=not pre_act)
 
         step = make_train_step(self.model, loss_fn, self.tx, mesh=self.mesh,
                                preprocess_fn=train_pp, donate=False)
@@ -561,7 +570,7 @@ class RetrievalExperiment:
             for batch in sub_loader:
                 n = batch.pop("n_valid")
                 codes, _ = self.eval_step(self.state, shard_batch(batch, self.mesh))
-                us.append(np.tanh(np.asarray(codes["codes"])[:n]))
+                us.append(act(np.asarray(codes["codes"])[:n]))
                 sub_pos.append(batch["index"][:n])
             U = np.concatenate(us)
             sub_pos = np.concatenate(sub_pos)  # positions within omega
@@ -576,7 +585,7 @@ class RetrievalExperiment:
         self._adsh_V = V
         test_codes, test_labels, _ = self.encode_split("test")
         mAP, recalls, precisions = calculate_mAP(
-            V, train_onehot, np.tanh(test_codes["codes"]), test_labels,
+            V, train_onehot, act(test_codes["codes"]), test_labels,
             R=cfg.get("dataset", {}).get("R", -1),
             PRs=tuple(cfg.get("PRs", (1, 5, 10))))
         self.test_history.append({"ep": self.epochs - 1, "mAP": mAP,

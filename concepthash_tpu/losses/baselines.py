@@ -243,12 +243,14 @@ def ce_loss(outputs, onehot, multiclass: bool = False, margin: float = 0.0,
 # ---------------------------------------------------------------------------
 
 def adsh_loss(outputs, batch_codes_targets, gamma: float = 200.0, nbit: int = 64,
-              **_):
+              apply_tanh: bool = True, **_):
     """(u V^T - nbit S)^2 + gamma ||u - V_omega||^2 where V = stored db codes.
 
     ``batch_codes_targets`` = dict(S=(B, Ntrain) soft similarity, V=(Ntrain,
-    nbit) db codes, V_omega=(B, nbit) stored codes of this batch's items)."""
-    u = jnp.tanh(outputs["codes"])
+    nbit) db codes, V_omega=(B, nbit) stored codes of this batch's items).
+    ``apply_tanh=False`` for models whose codes are already tanh-activated
+    (SEMICON's hash_layer_active, reference models/arch/semicon.py:479-481)."""
+    u = jnp.tanh(outputs["codes"]) if apply_tanh else outputs["codes"]
     S = batch_codes_targets["S"]
     V = batch_codes_targets["V"]
     V_omega = batch_codes_targets["V_omega"]

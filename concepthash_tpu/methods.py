@@ -199,7 +199,10 @@ def _build_finegrained(cls_name, config, codebook):
                              num_attns=int(m.get("num_attns", m.get("nattns", 4))),
                              with_softplus=bool(m.get("with_softplus", False)),
                              temp=float(m.get("temp", 10.0)))
-    cls = {"a2net_ce": A2NetCE, "semicon_ce": SemiconCE}[cls_name]
+    from concepthash_tpu.models.finegrained import Semicon
+
+    cls = {"a2net_ce": A2NetCE, "semicon_ce": SemiconCE,
+           "semicon": Semicon}[cls_name]
     fixed = jnp.asarray(codebook) if codebook is not None else None
     return cls(vcfg, fcfg, adapters=acfg, fixed_center=fixed,
                backbone_cfg=config.get("backbone"),
@@ -408,14 +411,16 @@ for _name in ("itq", "pca", "lsh", "sh"):
         lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {})),
         regime="shallow"))
 
-# asymmetric methods (ADSH; SEMICON's training loop is ADSH-shaped, its
-# multi-stage CNN backbone is replaced by the shared trunk — SURVEY.md §2.4)
+# asymmetric methods (ADSH alternating optimization; SEMICON = the SEM
+# suppression-attention global+local head — reference SEMICONWithAdapter,
+# models/arch/semicon.py:548-641 — trained under the same adsh regime,
+# trainers/semicon.py:31-175)
 register_method(Method(
     "adsh", functools.partial(_build_baseline, "csq"),  # tanh codes head
     lambda config, codebook: None,  # loss handled by the adsh regime
     regime="adsh"))
 register_method(Method(
-    "semicon", functools.partial(_build_baseline, "csq"),
+    "semicon", functools.partial(_build_finegrained, "semicon"),
     lambda config, codebook: None, regime="adsh"))
 
 

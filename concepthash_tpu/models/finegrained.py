@@ -128,6 +128,86 @@ class A2NetCE(nn.Module):
         return out
 
 
+class Semicon(nn.Module):
+    """SEMICON proper (reference models/arch/semicon.py:548-641
+    SEMICONWithAdapter — the ViT-feature variant the shipped semicon_adapter
+    config runs): token grid -> iterative suppression-attention maps
+    (forward_sem, :594-605), then each map gates the ORIGINAL tokens into a
+    local branch (context mixing + pool + Dense(nbit/(2A)) + tanh), plus a
+    global branch (Dense(nbit/2) + tanh); concat -> (B, nbit) codes. No CE
+    head — trained under the ADSH alternating regime
+    (trainers/semicon.py:31-175).
+
+    TPU-native notes: 1x1 convs on the NCHW grid become token-wise Dense; the
+    per-channel BatchNorm2d(1) in the attention pipe becomes LayerNorm over
+    tokens (documented deviation); the ChannelTransformer context mixer
+    (:30-66) is re-expressed as one pre-LN token self-attention layer, same
+    role (mixing before pooling). The suppression mask is the reference's:
+    stop-gradient softmax CAM standardized by std**0.3, clamped to [0, 2],
+    erasure factor = 2 - mask (:583-592)."""
+
+    vision_cfg: ClipVisionConfig
+    cfg: FineGrainedConfig
+    adapters: Optional[AdapterConfig] = AdapterConfig()
+    fixed_center: Optional[jnp.ndarray] = None
+    backbone_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+    codes_activated = True  # codes are tanh sub-codes; adsh regime must not re-tanh
+
+    def _mask(self, y):
+        a = jax.nn.softmax(y, axis=1)
+        mean = a.mean()
+        std = a.std() + 1e-6
+        a = (a - mean) / (std ** 0.3) + 1.0
+        return jax.lax.stop_gradient(jnp.clip(a, 0.0, 2.0))  # (B, P)
+
+    @nn.compact
+    def __call__(self, images, train: bool = False, output_attentions: bool = False):
+        c = self.cfg
+        tokens = _trunk_tokens(self, images, train)  # (B, P, D)
+        B, P, D = tokens.shape
+
+        # forward_sem: erasure loop over a RUNNING x produces the maps; the
+        # branches below gate the ORIGINAL tokens with each map
+        # (reference :594-605 then :617-629).
+        x = tokens
+        maps, suppressions = [], []
+        for i in range(c.num_attns):
+            y = nn.Dense(1, use_bias=False, dtype=self.dtype,
+                         name=f"sem_attn_{i}")(x)[..., 0]          # (B, P)
+            y = nn.relu(nn.LayerNorm(dtype=self.dtype,
+                                     name=f"sem_norm_{i}")(y))
+            maps.append(y)
+            if i != c.num_attns - 1:
+                suppress = 2.0 - self._mask(y)                     # (B, P)
+                suppressions.append(suppress)
+                x = x * suppress[:, :, None]
+
+        local_bits = c.nbit // (2 * c.num_attns)
+        subs = []
+        for i, y in enumerate(maps):
+            gated = tokens * y[:, :, None]
+            mixed, _ = MultiHeadAttention(4, self.dtype, name=f"icon_{i}")(
+                nn.LayerNorm(dtype=self.dtype, name=f"icon_ln_{i}")(gated))
+            feat = mixed.mean(axis=1)                              # (B, D)
+            subs.append(jnp.tanh(nn.Dense(local_bits, dtype=self.dtype,
+                                          name=f"hash_fc_{i}")(feat)))
+
+        mixed, _ = MultiHeadAttention(4, self.dtype, name="icon_global")(
+            nn.LayerNorm(dtype=self.dtype, name="icon_ln_global")(tokens))
+        gfeat = mixed.mean(axis=1)
+        subs.append(jnp.tanh(nn.Dense(c.nbit - local_bits * c.num_attns,
+                                      dtype=self.dtype,
+                                      name="hash_fc_global")(gfeat)))
+
+        out = {"codes": jnp.concatenate(subs, axis=1).astype(jnp.float32)}
+        if output_attentions:
+            out["attn_maps"] = jnp.stack(maps, axis=1)             # (B, A, P)
+            if suppressions:
+                out["suppress"] = jnp.stack(suppressions, axis=1)  # (B, A-1, P)
+        return out
+
+
 class SemiconCE(nn.Module):
     """Suppression-attention local/global sub-codes: each local branch
     attends, then its activation is erased from the features before the next
