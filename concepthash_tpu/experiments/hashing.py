@@ -100,6 +100,9 @@ class RetrievalExperiment:
         }
         for k, v in self.datasets.items():
             logging.info("%s dataset: %d items", k, len(v))
+        # methods with train-set-sized state (HashNet memory bank) read this
+        # (reference trainers/hashnet.py:11 injects train_size the same way)
+        cfg["_train_size_"] = len(self.datasets["train"])
 
         bs = int(cfg.get("batch_size", 64))
         self.mesh = make_mesh()

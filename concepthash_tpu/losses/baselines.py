@@ -121,9 +121,10 @@ def dpn_loss(outputs, onehot, codebook, sl: float = 1.0, margin: float = 1.0,
 # ---------------------------------------------------------------------------
 
 def hashnet_loss(outputs, onehot, beta: float = 1.0, alpha: float = 1.0, **_):
-    """In-batch pairwise weighted exp loss with continuation tanh(beta u).
-    The keep_train_size memory-bank variant is deliberately dropped: a batch
-    sharded over the mesh already gives O(B^2) global pairs via all-gather."""
+    """In-batch pairwise weighted exp loss with continuation tanh(beta u) —
+    the eval-side criterion. Training runs methods._hashnet_step, which adds
+    the beta-continuation schedule and the opt-in keep_train_size memory bank
+    (reference models/loss/hashnet.py:36-70, trainers/hashnet.py:14-17)."""
     u = jnp.tanh(beta * outputs["codes"])
     sim = get_sim(onehot, onehot).astype(jnp.float32)
     dot = alpha * (u @ u.T)

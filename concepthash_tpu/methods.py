@@ -17,6 +17,7 @@ import dataclasses
 import functools
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,9 +89,19 @@ def _compute_dtype(config):
 
 
 def _build_concepthash(config, codebook):
+    from concepthash_tpu.models.concepthash import SelfAttnLastConfig
+
     m = config["model"]
     upt = m.get("upt_config", {}) or {}
     vcfg, acfg = _vision_and_adapters(config)
+    sa = m.get("self_attn_at_last") or None
+    sa_cfg = SelfAttnLastConfig(
+        params=bool(sa.get("params", True)),
+        strong=bool(sa.get("strong", False)),
+        mask_sigma=float(sa.get("mask_sigma", 0.0)),
+        cross_attention=bool(sa.get("cross_attention", False)),
+        differentiable=bool(sa.get("differentiable", False)),
+        add_pe=bool(sa.get("add_pe", False))) if sa else None
     ccfg = ConceptHashConfig(
         nbit=int(m["nbit"]),
         nclass=int(m["nclass"]),
@@ -108,6 +119,7 @@ def _build_concepthash(config, codebook):
         learnable_center=codebook is None,
         center_dim=int(codebook.shape[1]) if codebook is not None else 512,
         text_projection_dims=tuple(m.get("text_projection_dims", (512,))),
+        self_attn_at_last=sa_cfg,
     )
     fixed = jnp.asarray(codebook) if codebook is not None else None
     te = m.get("token_embeds_array")  # injected by the experiment's FILIP stage
@@ -151,7 +163,19 @@ def _lgh_build_loss(config, codebook):
     kw.pop("multiclass", None)
     kw.setdefault("ncontext", int(config["model"].get("ncontext", 4)))
     kw.setdefault("concept_cossim", bool(config["model"].get("concept_cossim", True)))
-    return lambda outputs, batch: lgh_loss(outputs, batch["label"], **kw)
+    # LGHv3 (reference models/loss/coop.py:346-352): contrastive variant —
+    # labels are replaced by the batch diagonal (requires logits whose class
+    # axis is the batch, i.e. centers = the batch itself)
+    v3 = kw.pop("v3", False) or (config.get("criterion", {}) or {}) \
+        .get("name") in ("lghv3", "lgh_v3")
+
+    def loss(outputs, batch):
+        y = batch["label"]
+        if v3:
+            y = jnp.eye(y.shape[0], dtype=jnp.float32)
+        return lgh_loss(outputs, y, **kw)
+
+    return loss
 
 
 register_method(Method(
@@ -167,9 +191,89 @@ register_method(Method(
 register_method(Method(
     "dpn", functools.partial(_build_baseline, "dpn"),
     _simple_loss(L.dpn_loss), codebook="signed"))
+def _hashnet_step(model, config, tx, preprocess_fn, total_steps):
+    """HashNet custom step: beta-continuation schedule
+    beta = sqrt(ep // step_continuation + 1) (reference
+    trainers/hashnet.py:14-17) and the opt-in keep_train_size memory bank
+    U/Y in TrainState.extra (reference models/loss/hashnet.py:36-70)."""
+    import optax
+
+    from concepthash_tpu.ops.retrieval import get_sim, log_trick
+    from concepthash_tpu.train.state import accuracy_metrics
+
+    crit = dict(config.get("criterion", {}) or {})
+    alpha = float(crit.get("alpha", 1.0))
+    step_cont = int(crit.get("step_continuation", 20))
+    keep = int(crit.get("keep_train_size", 0))
+    epochs = int(config.get("epochs", 100))
+    steps_per_epoch = max(total_steps // max(epochs, 1), 1)
+
+    def step_fn(state, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        images = batch["image"]
+        if preprocess_fn is not None:
+            images = preprocess_fn(images, jax.random.fold_in(rng, 7))
+        ep = state.step // steps_per_epoch
+        beta = jnp.sqrt(jnp.floor(ep / step_cont) + 1.0).astype(jnp.float32)
+        y = batch["label"].astype(jnp.float32)
+
+        def compute(params):
+            vars_in = {"params": params}
+            if state.batch_stats:
+                vars_in["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(vars_in, images, train=True,
+                                       rngs={"dropout": rng},
+                                       mutable=["batch_stats"])
+            u = jnp.tanh(beta * out["codes"])
+            if keep:
+                # bank rows for this batch are detached (reference :53-59)
+                U2 = state.extra["U"].at[batch["index"]].set(
+                    jax.lax.stop_gradient(u))
+                Y2 = state.extra["Y"].at[batch["index"]].set(y)
+            else:
+                U2, Y2 = u, y
+            sim = get_sim(y, Y2).astype(jnp.float32)
+            dot = alpha * (u @ U2.T)
+            exp_loss = log_trick(dot) - sim * dot
+            s1 = jnp.maximum(sim.sum(), 1.0)
+            s0 = jnp.maximum((1 - sim).sum(), 1.0)
+            s = s1 + s0
+            w = jnp.where(sim > 0, s / s1, s / s0)
+            loss = (exp_loss * w).sum() / s
+            new_extra = {"U": U2, "Y": Y2} if keep else state.extra
+            return loss, (mutated.get("batch_stats", state.batch_stats),
+                          new_extra, out)
+
+        (loss, (new_bs, new_extra, out)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(step=state.step + 1,
+                                  params=optax.apply_updates(state.params,
+                                                             updates),
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  extra=new_extra)
+        metrics = {"loss": loss, "pairwise": loss, "beta": beta,
+                   **accuracy_metrics(out, y)}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _hashnet_extra(state, config):
+    crit = dict(config.get("criterion", {}) or {})
+    if not int(crit.get("keep_train_size", 0)):
+        return state
+    n = int(config.get("_train_size_", 0) or crit.get("train_size", 0))
+    assert n > 0, "keep_train_size needs the train-set size (set by the driver)"
+    return state.replace(extra={
+        "U": jnp.zeros((n, int(config["model"]["nbit"])), jnp.float32),
+        "Y": jnp.zeros((n, int(config["model"]["nclass"])), jnp.float32)})
+
+
 register_method(Method(
     "hashnet", functools.partial(_build_baseline, "pairwise"),
-    _simple_loss(L.hashnet_loss)))
+    _simple_loss(L.hashnet_loss),
+    custom_step=_hashnet_step, init_extra=_hashnet_extra))
 register_method(Method(
     "dpsh", functools.partial(_build_baseline, "pairwise"),
     _simple_loss(L.dpsh_loss)))

@@ -31,6 +31,105 @@ from concepthash_tpu.models.layers import CodeBatchNorm, CosSim, MLP
 
 
 @dataclasses.dataclass(frozen=True)
+class SelfAttnLastConfig:
+    """Optional last-layer SelfAttention with Gaussian attention masking
+    (reference models/arch/coop.py:20-177; the canonical "nosa" config
+    disables it — enabled via model.self_attn_at_last)."""
+
+    params: bool = True           # learned q/k/v (False -> identity)
+    strong: bool = False          # q/k/v = Linear-LN-ReLU-Linear stacks
+    mask_sigma: float = 0.0       # 0 = no Gaussian masking
+    cross_attention: bool = False  # concept->patch region only, rest zeroed
+    differentiable: bool = False  # soft-argmax center instead of argmax
+    add_pe: bool = False          # learnable PE on the concept tokens
+
+
+class SelfAttentionAtLast(nn.Module):
+    """Single-head self-attention over the full [cls; patches; concepts]
+    sequence whose concept->patch attention block is re-focused by a Gaussian
+    bump centered on each concept's attention argmax (reference
+    mask_attention_map, coop.py:96-143). Returns (attn (B,1,L,L), tokens).
+
+    Deviations (documented): the Gaussian is centered at the true argmax
+    (row=y, col=x) — the reference transposes the center coordinates via its
+    meshgrid indexing; and the ``differentiable`` variant uses a proper
+    softmax-expectation of the location (the reference's differentiable
+    branch has a broadcast-shape bug and is unused upstream)."""
+
+    cfg: SelfAttnLastConfig
+    ncontext: int
+    dim: int
+    dtype: Any = jnp.float32
+
+    def _qkv(self, name):
+        if not self.cfg.params:
+            return lambda x: x
+        if self.cfg.strong:
+            def f(x):
+                h = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                             name=f"{name}_1")(x)
+                h = nn.LayerNorm(dtype=self.dtype, name=f"{name}_ln")(h)
+                return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                                name=f"{name}_2")(nn.relu(h))
+
+            return f
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name=name)
+
+    def _gaussian_mask(self, region):
+        """region: (B, M, P) concept->patch attention; P must be square."""
+        B, M, P = region.shape
+        H = int(round(P ** 0.5))
+        assert H * H == P, f"patch grid must be square, got {P} tokens"
+        grid = region.reshape(B, M, H, H)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        if self.cfg.differentiable:
+            w = jax.nn.softmax(region.astype(jnp.float32), axis=-1)
+            w = w.reshape(B, M, H, H)
+            max_y = (w.sum(3) * ys).sum(2)  # (B, M)
+            max_x = (w.sum(2) * ys).sum(2)
+        else:
+            loc = jnp.argmax(region, axis=-1)  # (B, M)
+            max_y = (loc // H).astype(jnp.float32)
+            max_x = (loc % H).astype(jnp.float32)
+        yy = ys.reshape(1, 1, H, 1)
+        xx = ys.reshape(1, 1, 1, H)
+        bump = jnp.exp(-((xx - max_x[:, :, None, None]) ** 2 +
+                         (yy - max_y[:, :, None, None]) ** 2)
+                       / (2.0 * self.cfg.mask_sigma ** 2))
+        bump = bump / (bump.reshape(B, M, -1).max(axis=-1)[:, :, None, None] + 1e-12)
+        return (grid * bump).reshape(B, M, P)
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        M = self.ncontext
+        B, L, _ = x.shape
+        if c.add_pe:
+            pe = self.param("pe", nn.initializers.normal(1.0),
+                            (1, M, self.dim), jnp.float32)
+            x = x.at[:, -M:, :].add(pe.astype(x.dtype))
+        q = self._qkv("q")(x)
+        k = self._qkv("k")(x)
+        v = self._qkv("v")(x)
+        scale = self.dim ** -0.5
+        attn = jnp.einsum("bld,bmd->blm", q, k).astype(jnp.float32)
+
+        if c.cross_attention:
+            region = jax.nn.softmax(attn[:, -M:, 1:-M] * scale, axis=-1)
+            if c.mask_sigma != 0:
+                region = self._gaussian_mask(region)
+            attn = jnp.zeros_like(attn).at[:, -M:, 1:-M].set(region)
+        else:
+            if c.mask_sigma != 0:
+                attn = attn.at[:, -M:, 1:-M].set(
+                    self._gaussian_mask(attn[:, -M:, 1:-M]))
+            attn = jax.nn.softmax(attn * scale, axis=-1)
+
+        out = jnp.einsum("blm,bmd->bld", attn.astype(v.dtype), v)
+        return attn[:, None], out  # (B, 1, L, L), (B, L, D)
+
+
+@dataclasses.dataclass(frozen=True)
 class ConceptHashConfig:
     nbit: int = 64
     nclass: int = 200
@@ -48,6 +147,7 @@ class ConceptHashConfig:
     learnable_center: bool = False     # True -> no text codebook, learn centers
     text_projection_dims: tuple = (512, 512)  # hidden dims; final = nbit
     center_dim: int = 512              # language-embedding width
+    self_attn_at_last: Optional[SelfAttnLastConfig] = None
 
 
 class HashQueryBlock(nn.Module):
@@ -92,6 +192,11 @@ class ConceptHash(nn.Module):
         B = images.shape[0]
         M = c.ncontext
         embed_dim = vc.projection_dim
+        if c.self_attn_at_last is not None and not c.use_before_projection:
+            raise ValueError(
+                "self_attn_at_last composes with use_before_projection=True "
+                "(the reference's own usage — its 'apt' configs keep the flag "
+                "on); projecting the re-attended tokens is not wired")
 
         # ---- concept (hash) queries -> vision-width context tokens ----
         queries = self.param("hash_queries", nn.initializers.normal(1.0),
@@ -115,7 +220,18 @@ class ConceptHash(nn.Module):
             return (tokens[:, -(M + c.nregs):-c.nregs, :] if c.nregs
                     else tokens[:, -M:, :])
 
-        concept_tokens = slice_concepts(enc["last_hidden_state"])  # (B, M, D)
+        last_hidden = enc["last_hidden_state"]
+        last_attn = None
+        if c.self_attn_at_last is not None:
+            # optional extra attention layer with Gaussian masking (reference
+            # coop.py:487-494 applies it to the full last hidden state;
+            # composes with use_before_projection=True — the reference's own
+            # usage; the "apt" configs keep that flag on)
+            last_attn, last_hidden = SelfAttentionAtLast(
+                c.self_attn_at_last, M + c.nregs, vc.hidden_size,
+                dtype=self.dtype, name="self_attn_at_last")(last_hidden)
+
+        concept_tokens = slice_concepts(last_hidden)  # (B, M, D)
         projected_concepts = (slice_concepts(enc["extra_projected"])
                               if need_projected else None)
         if not c.use_before_projection:
@@ -190,7 +306,10 @@ class ConceptHash(nn.Module):
                 logits_concept.reshape(B, M, c.nclass).transpose(1, 0, 2))  # (M,B,C)
 
         if output_attentions:
-            outputs["attn_cache"] = enc["attentions"]
+            attns = enc["attentions"]
+            if last_attn is not None:  # reference coop.py:490-492
+                attns = tuple(attns) + (last_attn,)
+            outputs["attn_cache"] = attns
 
         # ---- FILIP token-level image<->text logits (optional) ----
         # reference LGHWithFixedPromptFILIP (models/arch/coop.py:628-678):

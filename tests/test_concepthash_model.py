@@ -198,3 +198,108 @@ def test_concepthash_dbn_option():
                          rngs={"dropout": jax.random.PRNGKey(2)},
                          mutable=["batch_stats"])
     assert out["codes"].shape == (8, 16)
+
+
+# ---------------------------------------------------------------------------
+# SelfAttention-at-last with Gaussian masking (reference coop.py:20-177)
+# ---------------------------------------------------------------------------
+
+def _sa_model(**sa_kwargs):
+    from concepthash_tpu.models.concepthash import SelfAttnLastConfig
+
+    ccfg = ConceptHashConfig(nbit=16, nclass=5, ncontext=4, num_heads=4,
+                             center_dim=48, text_projection_dims=(48,),
+                             self_attn_at_last=SelfAttnLastConfig(**sa_kwargs))
+    center = np.random.default_rng(0).standard_normal((5, 48)).astype(np.float32)
+    model = ConceptHash(VCFG, ccfg, adapters=AdapterConfig(bottleneck_dim=16),
+                        fixed_center=jnp.asarray(center))
+    imgs = jnp.asarray(np.random.default_rng(3).standard_normal((2, 32, 32, 3)),
+                       jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, imgs, train=True)
+    return model, variables, imgs
+
+
+def test_self_attn_at_last_shapes_and_attn_cache():
+    model, variables, imgs = _sa_model(mask_sigma=0.5)
+    out = model.apply(variables, imgs, train=False, output_attentions=True)
+    assert out["codes"].shape == (2, 16)
+    # one extra attention map appended (reference coop.py:490-492);
+    # full sequence = cls + 16 patches + 4 concepts = 21
+    assert len(out["attn_cache"]) == VCFG.num_layers + 1
+    assert out["attn_cache"][-1].shape == (2, 1, 21, 21)
+    assert "self_attn_at_last" in variables["params"]
+
+
+def test_gaussian_masking_centers_bump_at_argmax():
+    """The mask multiplies the concept->patch map by a Gaussian bump that is
+    exactly 1 at the map's argmax and decays with distance (reference
+    mask_attention_map, coop.py:96-143: raw scores are masked BEFORE softmax,
+    so the contract is on the multiplicative bump, not on post-softmax
+    mass)."""
+    from concepthash_tpu.models.concepthash import (
+        SelfAttentionAtLast,
+        SelfAttnLastConfig,
+    )
+
+    mod = SelfAttentionAtLast(SelfAttnLastConfig(params=False, mask_sigma=0.7),
+                              ncontext=4, dim=8)
+    rng = np.random.default_rng(5)
+    region = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    masked = np.asarray(mod._gaussian_mask(region))
+    region = np.asarray(region)
+    bump = masked / np.where(np.abs(region) < 1e-9, 1.0, region)
+    for b in range(2):
+        for m in range(4):
+            peak = region[b, m].argmax()
+            # bump == 1 at the argmax, <= 1 everywhere, decays with distance
+            assert bump[b, m, peak] == pytest.approx(1.0, abs=1e-5)
+            assert bump[b, m].max() <= 1.0 + 1e-5
+            py, px = divmod(int(peak), 4)
+            d = np.array([(py - i) ** 2 + (px - j) ** 2
+                          for i in range(4) for j in range(4)], np.float32)
+            far, near = d.argmax(), d.argmin()
+            assert bump[b, m, far] < bump[b, m, near]
+
+    # end-to-end: rows still softmax-normalized, shapes preserved
+    x = jnp.asarray(rng.standard_normal((2, 21, 8)), jnp.float32)
+    attn, out = mod.apply({}, x)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(attn)[:, 0].sum(-1), 1.0, atol=1e-5)
+
+
+def test_cross_attention_zeroes_outside_region():
+    from concepthash_tpu.models.concepthash import (
+        SelfAttentionAtLast,
+        SelfAttnLastConfig,
+    )
+
+    mod = SelfAttentionAtLast(SelfAttnLastConfig(params=False,
+                                                 cross_attention=True,
+                                                 mask_sigma=0.5),
+                              ncontext=4, dim=8)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 21, 8)),
+                    jnp.float32)
+    attn, _ = mod.apply({}, x)
+    attn = np.asarray(attn)[0, 0]
+    assert np.abs(attn[:-4]).max() == 0.0          # non-concept rows zeroed
+    assert np.abs(attn[-4:, 0]).max() == 0.0       # cls column zeroed
+    assert np.abs(attn[-4:, -4:]).max() == 0.0     # concept columns zeroed
+    assert np.abs(attn[-4:, 1:-4]).max() > 0.0     # concept->patch region live
+
+
+def test_sa_config_reachable_from_cli_config():
+    from concepthash_tpu.config import load_config
+    from concepthash_tpu.methods import get_method
+    import os
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    cfg = load_config(cfg_dir, "train",
+                      ["dataset=synthetic", "model=concepthash_sa",
+                       "backbone=tiny_test", "model.nbit=16",
+                       "model.text_projection_dims=[32]"])
+    assert cfg["model"]["self_attn_at_last"]["mask_sigma"] == 0.5
+    center = np.zeros((3, 32), np.float32)
+    model = get_method("concepthash").build_model(cfg, center)
+    assert model.cfg.self_attn_at_last is not None
