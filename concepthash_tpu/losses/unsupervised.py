@@ -125,3 +125,58 @@ def ssdh_loss(outputs, onehot, S_batch=None, **_):
     target = (S_batch > 0).astype(jnp.float32) * 2 - 1
     loss = (((sim - target) ** 2) * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return loss, {"pairwise": loss}
+
+
+# ---------------------------------------------------------------------------
+# NSH — Naturally-Sorted Hashing
+# ---------------------------------------------------------------------------
+
+def nsh_loss(outputs, onehot, tau: float = 1.0, temperature: float = 0.3,
+             lambda_q: float = 0.1, lambda_c: float = 1.0, **_):
+    """NSH (Yu et al., "Learning to Hash Naturally Sorts", IJCAI 2022) —
+    reconstruction against the reference trainer contract (trainers/
+    nsh.py:6-67: two concatenated views; model emits feats/codes/latents;
+    loss(b, z)); the sdc loss module is absent upstream.
+
+    Components:
+      sort — NeuralSort-relaxed ranking self-supervision: for each anchor,
+        candidates are soft-sorted by code similarity (the relaxed
+        permutation's TOP row, i.e. P[0, j] of Grover et al.'s NeuralSort
+        with scores s_j and absolute-difference sums); the listwise CE makes
+        the anchor's other view rank first. This trains codes whose Hamming
+        ranking "naturally sorts" true neighbors to the front.
+      contrastive — NT-Xent on the continuous latents across views (shapes
+        the latent space the sorting supervises against).
+      quan — 1 - cos(tanh codes, signs).
+    """
+    n2 = outputs["codes"].shape[0]
+    n = n2 // 2
+    b = jnp.tanh(outputs["codes"].astype(jnp.float32))
+    z = outputs["latents"].astype(jnp.float32)
+    nbit = b.shape[1]
+    pos = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+
+    # ---- NeuralSort top-row listwise loss over code similarities ----
+    s = (b @ b.T) / nbit                       # (2B, 2B) in [-1, 1]
+    valid = ~jnp.eye(n2, dtype=bool)
+    # A[i, j] = sum over valid l of |s[i, j] - s[i, l]|
+    diff = jnp.abs(s[:, :, None] - s[:, None, :])        # (2B, j, l)
+    A = jnp.where(valid[:, None, :], diff, 0.0).sum(-1)  # (2B, 2B)
+    m = n2 - 1                                           # candidates per anchor
+    r = ((m - 1) * s - A) / jnp.maximum(tau, 1e-6)
+    r = jnp.where(valid, r, -1e9)
+    logp = jax.nn.log_softmax(r, axis=-1)
+    sort_loss = -logp[jnp.arange(n2), pos].mean()
+
+    # ---- NT-Xent on latents ----
+    zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+    sim = jnp.dot(zn, zn.T, preferred_element_type=jnp.float32) / temperature
+    sim = jnp.where(jnp.eye(n2, dtype=bool), -1e9, sim)
+    contrastive = -jax.nn.log_softmax(sim, axis=-1)[jnp.arange(n2), pos].mean()
+
+    # ---- quantization ----
+    bn = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-12)
+    quan = (1.0 - (bn * jnp.sign(b) / jnp.sqrt(nbit)).sum(-1)).mean()
+
+    total = sort_loss + lambda_c * contrastive + lambda_q * quan
+    return total, {"sort": sort_loss, "contrastive": contrastive, "quan": quan}

@@ -133,7 +133,8 @@ def _build_baseline(head, config, codebook, **kw):
     vcfg, acfg = _vision_and_adapters(config)
     bcfg = BaselineConfig(nbit=int(m["nbit"]), nclass=int(m["nclass"]),
                           head=head, add_bn=bool(m.get("add_bn", True)),
-                          ce_cossim=m.get("m_type", "ce") != "ce")
+                          ce_cossim=m.get("m_type", "ce") != "ce",
+                          latent_dim=int(m.get("latent_dim", 128)))
     cb = jnp.asarray(codebook) if codebook is not None else None
     return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb,
                            backbone_cfg=config.get("backbone"),
@@ -331,6 +332,9 @@ register_method(Method(
 register_method(Method(
     "bihalf", functools.partial(_build_baseline, "unsup_greedyhash"),
     _simple_loss(U.bihalf_loss), unsupervised=True, two_view=True))
+register_method(Method(
+    "nsh", functools.partial(_build_baseline, "nsh"),
+    _simple_loss(U.nsh_loss), unsupervised=True, two_view=True))
 register_method(Method(
     "ssdh", functools.partial(_build_baseline, "pairwise"),
     # eval batches carry no structure -> loss degenerates to 0 there

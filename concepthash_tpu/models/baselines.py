@@ -30,6 +30,7 @@ class BaselineConfig:
     add_bn: bool = True       # BN after hash_fc (orthohash-style)
     hash_bias: bool = False   # pairwise/ce heads use a biased hash_fc
     ce_cossim: bool = False   # ce head: cosine classifier instead of linear
+    latent_dim: int = 128     # nsh head: continuous latent width
 
 
 class BaselineHashNet(nn.Module):
@@ -74,6 +75,19 @@ class BaselineHashNet(nn.Module):
             out["logits"] = jnp.exp(logit_scale) * jnp.dot(
                 pn, cn.T, preferred_element_type=jnp.float32)
             return out
+
+        if head == "nsh":
+            # NSH net (reference trainers/nsh.py:28-33 contract: model ->
+            # feats/codes/latents; the arch module is absent upstream):
+            # projector MLP -> continuous latent z, hash layer on z -> codes
+            z = nn.Dense(c.latent_dim * 2, dtype=self.dtype,
+                         name="latent_fc1")(feat)
+            z = nn.relu(z)
+            z = nn.Dense(c.latent_dim, dtype=self.dtype,
+                         name="latent_fc2")(z).astype(jnp.float32)
+            codes = nn.Dense(c.nbit, use_bias=False, dtype=self.dtype,
+                             name="hash_fc")(z).astype(jnp.float32)
+            return {"features": feat, "latents": z, "codes": codes}
 
         use_bias = c.hash_bias or head in ("pairwise", "ce", "greedyhash",
                                            "unsup_greedyhash")
