@@ -119,13 +119,19 @@ def bench_encode(jax, jnp, batch: int, tiny: bool):
     return batch / sec
 
 
-def bench_train_step(jax, jnp, batch: int, tiny: bool):
-    """Full ConceptHash train step (fwd+bwd+adam) images/sec."""
+def bench_train_step(jax, jnp, batch: int, tiny: bool, chunk: int = 1):
+    """Full ConceptHash train step (fwd+bwd+adam) images/sec.
+
+    chunk>1 measures the production scan-chunked path (train_chunk config,
+    train/state.make_multi_train_step): K optimizer steps per dispatch,
+    amortizing the per-step relay dispatch latency."""
     from concepthash_tpu.losses.concepthash import lgh_loss
     from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
     from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
     from concepthash_tpu.train.optim import build_optimizer
-    from concepthash_tpu.train.state import create_train_state, make_train_step
+    from concepthash_tpu.train.state import (create_train_state,
+                                             make_multi_train_step,
+                                             make_train_step)
 
     if tiny:
         vcfg = ClipVisionConfig(hidden_size=64, intermediate_size=128,
@@ -147,19 +153,27 @@ def bench_train_step(jax, jnp, batch: int, tiny: bool):
                          backbone_lr_scale=0.0)
     state = create_train_state(model, tx, imgs, rng)
     loss_fn = lambda out, b: lgh_loss(out, b["label"], ncontext=ccfg.ncontext)
-    step = make_train_step(model, loss_fn, tx, donate=False)
     y = np.eye(ccfg.nclass, dtype=np.float32)[
         np.random.default_rng(0).integers(0, ccfg.nclass, batch)]
     b = {"image": imgs, "label": jnp.asarray(y)}
-
     holder = {"state": state}
 
-    def run():
-        holder["state"], metrics = step(holder["state"], b)
-        return metrics["loss"]
+    if chunk > 1:
+        step = make_multi_train_step(model, loss_fn, tx, donate=False)
+        bk = {k: jnp.broadcast_to(v, (chunk,) + v.shape) for k, v in b.items()}
+
+        def run():
+            holder["state"], metrics = step(holder["state"], bk)
+            return metrics["loss"][-1]
+    else:
+        step = make_train_step(model, loss_fn, tx, donate=False)
+
+        def run():
+            holder["state"], metrics = step(holder["state"], b)
+            return metrics["loss"]
 
     sec = time_it(run, warmup=1, iters=3)
-    return batch / sec
+    return batch * chunk / sec
 
 
 def main():
@@ -195,6 +209,13 @@ def main():
     except Exception as e:
         print(f"train bench failed: {e}", file=sys.stderr)
         trn = None
+    try:  # production path: train_chunk steps per dispatch (lax.scan)
+        trn_chunk = bench_train_step(jax, jnp, min(batch, 256),
+                                     tiny=args.smoke,
+                                     chunk=4 if args.smoke else 16)
+    except Exception as e:
+        print(f"chunked train bench failed: {e}", file=sys.stderr)
+        trn_chunk = None
 
     result = {
         "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery",
@@ -206,7 +227,9 @@ def main():
         "cpu_numpy_qps_1core": round(cpu_qps, 1),
         "encode_img_per_s": round(enc, 1) if enc else None,
         "encode_batch": batch,
-        "train_img_per_s": round(trn, 1) if trn else None,
+        "train_img_per_s": round(trn_chunk, 1) if trn_chunk else None,
+        "train_img_per_s_single_dispatch": round(trn, 1) if trn else None,
+        "train_chunk": 4 if args.smoke else 16,
     }
     print(json.dumps(result))
 

@@ -23,10 +23,12 @@ from concepthash_tpu.data.manifest import HashingDataset
 from concepthash_tpu.data.pipeline import Loader, seeding
 from concepthash_tpu.data.preprocess import preprocess_batch
 from concepthash_tpu.methods import Method, get_method, prepare_codebook
-from concepthash_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from concepthash_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                           shard_batch_chunk)
 from concepthash_tpu.ops.retrieval import calculate_mAP, calculate_pr_curve
 from concepthash_tpu.train.optim import build_optimizer, current_lr
-from concepthash_tpu.train.state import create_train_state, make_eval_step, make_train_step
+from concepthash_tpu.train.state import (create_train_state, make_eval_step,
+                                         make_multi_train_step, make_train_step)
 from concepthash_tpu.utils import io
 from concepthash_tpu.utils.logger import HistoryWriter, setup_logging
 from concepthash_tpu.utils.machine_stats import print_stats
@@ -240,6 +242,11 @@ class RetrievalExperiment:
             self.state = jax.device_get(self.state)
             self.state = self.method.init_extra(self.state, cfg)
             self.state = replicate(self.state, self.mesh)
+        self.train_multi_step = None
+        chunk = cfg.get("train_chunk", "auto")
+        if chunk in ("auto", None):  # amortize relay dispatch on TPU only
+            chunk = 8 if jax.default_backend() == "tpu" else 1
+        self.train_chunk = max(1, int(chunk))
         if self.method.custom_step is not None:
             self.train_step = self.method.custom_step(
                 self.model, cfg, self.tx, train_pp,
@@ -248,6 +255,12 @@ class RetrievalExperiment:
             self.train_step = make_train_step(
                 self.model, self.loss_fn, self.tx, mesh=self.mesh,
                 output_attentions=out_attn, preprocess_fn=train_pp)
+            if self.train_chunk > 1:
+                # K steps per dispatch (lax.scan) — amortizes the per-step
+                # relay dispatch that dominates small-model TPU steps.
+                self.train_multi_step = make_multi_train_step(
+                    self.model, self.loss_fn, self.tx, mesh=self.mesh,
+                    output_attentions=out_attn, preprocess_fn=train_pp)
         self.eval_step = make_eval_step(self.model, self.loss_fn,
                                         mesh=self.mesh, preprocess_fn=eval_pp)
         self.epochs = epochs
@@ -290,6 +303,18 @@ class RetrievalExperiment:
                 self._odc_setup()
         meters = MeterBank()
         t0 = time.time()
+        pending: list[tuple[dict, int]] = []  # (batch, n_valid) awaiting a chunk
+
+        def run_chunk():
+            batches = {k: np.stack([b[k] for b, _ in pending])
+                       for k in pending[0][0]}
+            self.profiler.step_start()
+            self.state, metrics = self.train_multi_step(
+                self.state, shard_batch_chunk(batches, self.mesh))
+            self.profiler.step_end()
+            meters.update_device(metrics, [n for _, n in pending])
+            pending.clear()
+
         for batch in self.loaders["train"]:
             n = batch.pop("n_valid")
             if self.method.needs_structure:
@@ -297,11 +322,21 @@ class RetrievalExperiment:
                 batch["aux"] = self._structure[np.ix_(idx, idx)]
             if self.method.regime == "odc":
                 batch["label"] = self._pseudo[batch["index"]]
+            if self.train_multi_step is not None:
+                pending.append((batch, n))
+                if len(pending) == self.train_chunk:
+                    run_chunk()
+                continue
             self.profiler.step_start()
             self.state, metrics = self.train_step(self.state,
                                                   shard_batch(batch, self.mesh))
             self.profiler.step_end()
             meters.update_device(metrics, n)
+        for batch, n in pending:  # tail < chunk: single-step path
+            self.state, metrics = self.train_step(self.state,
+                                                  shard_batch(batch, self.mesh))
+            meters.update_device(metrics, n)
+        pending.clear()
         res = meters.materialize()
         res["time"] = time.time() - t0
         res["lr"] = current_lr(self.config.get("optim", {}) or {},

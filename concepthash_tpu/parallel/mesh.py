@@ -48,6 +48,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def shard_batch_chunk(batches: dict, mesh: Mesh) -> dict:
+    """Place a stacked chunk of batches (leaves (K, B, ...)) onto the mesh:
+    the scan axis K is unsharded, the batch axis is sharded along 'data'."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+    return {k: jax.device_put(v, sharding) for k, v in batches.items()}
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

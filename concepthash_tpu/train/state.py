@@ -53,18 +53,11 @@ def create_train_state(model, tx, sample_batch, rng,
     )
 
 
-def make_train_step(model, loss_fn: Callable, tx,
-                    mesh: Optional[Mesh] = None,
-                    output_attentions: bool = False,
-                    donate: bool = True,
-                    preprocess_fn: Optional[Callable] = None):
-    """loss_fn(outputs, batch) -> (total, parts_dict).
-
-    Returns step(state, batch) -> (state, metrics); batch is a dict with at
-    least image (B,H,W,C) and label (B,C) one-hot f32. ``preprocess_fn(images,
-    rng)`` (optional) runs the fused device augmentation inside the same jit,
-    so raw uint8 crosses host->device and every float op fuses on-chip.
-    """
+def _build_step_fn(model, loss_fn: Callable, tx,
+                   output_attentions: bool = False,
+                   preprocess_fn: Optional[Callable] = None):
+    """The pure (state, batch) -> (state, metrics) transition shared by the
+    single-step and scan-chunked train steps."""
 
     def step_fn(state: TrainState, batch: dict):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -94,10 +87,54 @@ def make_train_step(model, loss_fn: Callable, tx,
         metrics = {"loss": total, **parts, **accuracy_metrics(out, batch["label"])}
         return new_state, metrics
 
-    # Sharding is carried by the committed placement of the inputs (state
-    # replicated via mesh.replicate, batch sharded via mesh.shard_batch);
-    # GSPMD partitions the computation and inserts the gradient all-reduce.
+    return step_fn
+
+
+def make_train_step(model, loss_fn: Callable, tx,
+                    mesh: Optional[Mesh] = None,
+                    output_attentions: bool = False,
+                    donate: bool = True,
+                    preprocess_fn: Optional[Callable] = None):
+    """loss_fn(outputs, batch) -> (total, parts_dict).
+
+    Returns step(state, batch) -> (state, metrics); batch is a dict with at
+    least image (B,H,W,C) and label (B,C) one-hot f32. ``preprocess_fn(images,
+    rng)`` (optional) runs the fused device augmentation inside the same jit,
+    so raw uint8 crosses host->device and every float op fuses on-chip.
+
+    Sharding is carried by the committed placement of the inputs (state
+    replicated via mesh.replicate, batch sharded via mesh.shard_batch);
+    GSPMD partitions the computation and inserts the gradient all-reduce.
+    """
+    step_fn = _build_step_fn(model, loss_fn, tx,
+                             output_attentions=output_attentions,
+                             preprocess_fn=preprocess_fn)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(model, loss_fn: Callable, tx,
+                          mesh: Optional[Mesh] = None,
+                          output_attentions: bool = False,
+                          donate: bool = True,
+                          preprocess_fn: Optional[Callable] = None):
+    """K optimizer steps per device dispatch via ``lax.scan``.
+
+    Returns multi_step(state, batches) -> (state, metrics) where every leaf of
+    ``batches`` is stacked (K, B, ...) and every metric comes back stacked
+    (K,). One jit call executes all K steps on-device, amortizing the per-step
+    host->device dispatch (on the TPU relay the dominant fixed cost; the
+    reference pays it per batch, trainers/base.py step loop). RNG correctness
+    is preserved because the step folds ``state.step`` — which advances inside
+    the scan — into ``state.rng``.
+    """
+    step_fn = _build_step_fn(model, loss_fn, tx,
+                             output_attentions=output_attentions,
+                             preprocess_fn=preprocess_fn)
+
+    def multi_step(state: TrainState, batches: dict):
+        return jax.lax.scan(step_fn, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, loss_fn: Optional[Callable] = None,

@@ -54,14 +54,24 @@ class MeterBank:
     def update(self, key: str, val, n: int = 1):
         self.meters[key].update(val, n)
 
-    def update_device(self, metrics: dict, n: int = 1):
+    def update_device(self, metrics: dict, n=1):
+        """``n`` is an int for scalar metrics, or a sequence of per-step
+        counts when the metric values are stacked (K,) arrays (the scan-
+        chunked train step returns one value per inner step)."""
         self._pending.append((metrics, n))
 
     def materialize(self) -> dict:
         # One host sync for the whole epoch's buffered metrics.
         for metrics, n in self._pending:
             for k, v in metrics.items():
-                self.meters[k].update(np.asarray(v).item(), n)
+                a = np.asarray(v)
+                if a.ndim == 0:
+                    self.meters[k].update(a.item(), n)
+                else:  # stacked per-step values from a scan-chunked step
+                    ns = n if np.ndim(n) else [n] * a.shape[0]
+                    for val, ni in zip(a.reshape(a.shape[0], -1).mean(axis=1),
+                                       ns):
+                        self.meters[k].update(val, int(ni))
         self._pending.clear()
         return {k: m.avg for k, m in self.meters.items()}
 

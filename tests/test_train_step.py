@@ -131,6 +131,58 @@ def test_param_labels():
     assert labels["hash_queries"] == "train"
 
 
+def test_multi_step_matches_sequential(rng):
+    """K scan-chunked steps must reproduce K sequential steps exactly: same
+    params (same op order per step), same stacked metrics, same RNG stream
+    (the step folds state.step into state.rng, and step advances inside the
+    scan)."""
+    from concepthash_tpu.parallel.mesh import shard_batch_chunk
+    from concepthash_tpu.train.state import make_multi_train_step
+
+    mesh = make_mesh()
+    model, loss_fn, state0, _ = build(mesh)
+    tx = build_optimizer({"name": "sgd", "lr": 0.01, "momentum": 0.9},
+                         {"name": "csw", "warmup_epochs": 1},
+                         epochs=4, steps_per_epoch=2,
+                         params=jax.device_get(state0.params),
+                         backbone_lr_scale=0.0)
+    step = make_train_step(model, loss_fn, tx, mesh=mesh, donate=False)
+    multi = make_multi_train_step(model, loss_fn, tx, mesh=mesh, donate=False)
+
+    K = 4
+    batches = [make_batch(rng) for _ in range(K)]
+
+    state_seq = replicate(state0, mesh)
+    seq_losses = []
+    for b in batches:
+        state_seq, m = step(state_seq, shard_batch(b, mesh))
+        seq_losses.append(float(m["loss"]))
+
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    state_scan = replicate(state0, mesh)
+    state_scan, ms = multi(state_scan, shard_batch_chunk(stacked, mesh))
+
+    assert int(state_scan.step) == K
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.params),
+                    jax.tree_util.tree_leaves(state_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_meterbank_stacked_updates():
+    """Stacked (K,) metrics with per-step counts average like K scalar
+    updates (the scan-chunked loop path)."""
+    from concepthash_tpu.utils.meters import MeterBank
+
+    a, b = MeterBank(), MeterBank()
+    vals, ns = [1.0, 2.0, 4.0], [8, 8, 3]
+    for v, n in zip(vals, ns):
+        a.update_device({"loss": np.asarray(v)}, n)
+    b.update_device({"loss": np.asarray(vals)}, ns)
+    assert a.materialize() == b.materialize()
+
+
 def test_remat_matches_plain(rng):
     """remat=True must not change values — only the backward memory/FLOPs."""
     from concepthash_tpu.models.clip import ClipVisionConfig, ClipVisionTower
