@@ -47,6 +47,7 @@ class ClipVisionConfig:
     patch_bias: bool = False
     use_pre_layernorm: bool = True
     attention_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    fused_ln: str = "auto"        # fused LN->matmul kernel (ops/fused_ln.py)
     remat: bool = False           # rematerialize encoder layers (trade FLOPs
                                   # for activation memory on big towers)
 
@@ -137,12 +138,39 @@ class PatchEmbedding(nn.Module):
         return out
 
 
+class _LNParamsMirror(nn.Module):
+    """Same param tree as nn.LayerNorm ({scale, bias}) but hands the params
+    to the caller so the fused LN->matmul kernel (ops/fused_ln.py) can
+    consume them. Checkpoints are interchangeable with the unfused path."""
+
+    @nn.compact
+    def __call__(self, D: int):
+        return (self.param("scale", nn.initializers.ones, (D,)),
+                self.param("bias", nn.initializers.zeros, (D,)))
+
+
+class _DenseParamsMirror(nn.Module):
+    """Same param tree as nn.Dense ({kernel, bias}), params handed back."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, D: int):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (D, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class MultiHeadAttention(nn.Module):
     """CLIP-style MHA (bias on q/k/v/out). Returns (out, probs|None).
 
     ``attention_impl``: 'xla' (einsum path, required when probabilities are
     requested), 'pallas' (fused VMEM kernel, ops/attention.py), or 'auto'
-    (pallas on TPU when probs are not needed)."""
+    (pallas on TPU when probs are not needed).
+
+    ``ln``: optional (scale, bias, eps) of the preceding LayerNorm — when
+    given, x must be UN-normalized and q/k/v are produced by one fused
+    LN->matmul kernel over the concatenated qkv weights."""
 
     num_heads: int
     dtype: Any = jnp.float32
@@ -150,7 +178,7 @@ class MultiHeadAttention(nn.Module):
     adapters: Optional["AdapterConfig"] = None  # q/k/v/out adapters
 
     @nn.compact
-    def __call__(self, x, output_attentions: bool = False):
+    def __call__(self, x, output_attentions: bool = False, ln=None):
         B, L, D = x.shape
         H = self.num_heads
         hd = D // H
@@ -164,9 +192,23 @@ class MultiHeadAttention(nn.Module):
             return y
 
         dense = lambda name: (lambda inp: proj(name, inp))
-        q = dense("q_proj")(x).reshape(B, L, H, hd)
-        k = dense("k_proj")(x).reshape(B, L, H, hd)
-        v = dense("v_proj")(x).reshape(B, L, H, hd)
+        if ln is not None:
+            from concepthash_tpu.ops.fused_ln import ln_matmul
+
+            scale_ln, bias_ln, eps = ln
+            kq, bq = _DenseParamsMirror(D, name="q_proj")(D)
+            kk, bk = _DenseParamsMirror(D, name="k_proj")(D)
+            kv, bv = _DenseParamsMirror(D, name="v_proj")(D)
+            w = jnp.concatenate([kq, kk, kv], axis=1).astype(self.dtype)
+            b = jnp.concatenate([bq, bk, bv])
+            qkv = ln_matmul(x, scale_ln, bias_ln, w, b, eps=eps,
+                            impl="pallas")
+            q, k, v = [t.reshape(B, L, H, hd)
+                       for t in jnp.split(qkv, 3, axis=-1)]
+        else:
+            q = dense("q_proj")(x).reshape(B, L, H, hd)
+            k = dense("k_proj")(x).reshape(B, L, H, hd)
+            v = dense("v_proj")(x).reshape(B, L, H, hd)
         scale = hd ** -0.5
         if output_attentions or self.attention_impl == "xla":
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
@@ -196,23 +238,47 @@ class EncoderLayer(nn.Module):
     adapters: Optional[AdapterConfig] = None
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    fused_ln: str = "auto"  # 'pallas' | 'xla' | 'auto' (ops/fused_ln.py)
 
     @nn.compact
     def __call__(self, x, output_attentions: bool = False):
+        from concepthash_tpu.ops.fused_ln import ln_matmul, resolve_fused_ln
+
         qkvo = self.adapters is not None and self.adapters.attention_qkvo
+        # q/k/v/o adapters consume the normalized input -> fusion off there
+        fused = resolve_fused_ln(self.fused_ln,
+                                 x.shape[0] * x.shape[1]) and not qkvo
+        D = x.shape[-1]
         res = x
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
-        h, probs = MultiHeadAttention(self.num_heads, self.dtype,
-                                      self.attention_impl,
-                                      adapters=self.adapters if qkvo else None,
-                                      name="self_attn")(h, output_attentions)
+        if fused:
+            scale1, bias1 = _LNParamsMirror(name="layer_norm1")(D)
+            h, probs = MultiHeadAttention(self.num_heads, self.dtype,
+                                          self.attention_impl,
+                                          name="self_attn")(
+                x, output_attentions, ln=(scale1, bias1, self.eps))
+        else:
+            h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                             name="layer_norm1")(x)
+            h, probs = MultiHeadAttention(self.num_heads, self.dtype,
+                                          self.attention_impl,
+                                          adapters=self.adapters if qkvo else None,
+                                          name="self_attn")(h, output_attentions)
         if self.adapters is not None and self.adapters.after_attention and not qkvo:
             h = h + Adapter(self.adapters, self.dtype, name="adapter_attn")(h)
         x = res + h
 
         res = x
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        if fused:
+            scale2, bias2 = _LNParamsMirror(name="layer_norm2")(D)
+            kern, b_fc = _DenseParamsMirror(self.intermediate_size,
+                                            name="fc1")(D)
+            h = ln_matmul(x, scale2, bias2, kern.astype(self.dtype), b_fc,
+                          eps=self.eps, impl="pallas")
+        else:
+            h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                             name="layer_norm2")(x)
+            h = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                         name="fc1")(h)
         h = activation(self.act)(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
         if self.adapters is not None and self.adapters.after_mlp and not qkvo:
@@ -221,17 +287,54 @@ class EncoderLayer(nn.Module):
         return x, probs
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> "np.ndarray":
+    """(n_out, n_in) interpolation matrix replaying torch
+    F.interpolate(mode='bicubic', align_corners=False) exactly: cubic
+    convolution kernel a=-0.75 (jax.image.resize uses Keys a=-0.5 — the
+    round-1 documented mismatch, closed here), source coordinate
+    (i+0.5)/scale - 0.5, edge clamping. Built in numpy at trace time —
+    pos-embed resize is a one-off per compile."""
+    import numpy as np
+
+    a = -0.75
+
+    def w(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2:
+            return a * (x ** 3 - 5 * x ** 2 + 8 * x - 4)
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        c = (i + 0.5) / scale - 0.5
+        i0 = math.floor(c)
+        t = c - i0
+        for k, dx in zip((i0 - 1, i0, i0 + 1, i0 + 2),
+                         (1 + t, t, 1 - t, 2 - t)):
+            m[i, min(max(k, 0), n_in - 1)] += w(dx)
+    return m.astype(np.float32)
+
+
 def resize_position_embedding(pos: jax.Array, num_patches: int) -> jax.Array:
     """Bicubic-resize the grid part of a (1+N, D) CLIP position embedding to a
-    new patch count (reference models/arch/coop.py:429-450 semantics)."""
+    new patch count (reference models/backbone/clip.py:70-91
+    _interpolate_pos_encoding): torch bicubic a=-0.75 with the dino
+    +0.1-scale trick, replayed exactly via trace-time interpolation
+    matrices."""
     n_old = pos.shape[0] - 1
     if n_old == num_patches:
         return pos
     side_old = int(math.sqrt(n_old))
     side_new = int(math.sqrt(num_patches))
-    grid = pos[1:].reshape(side_old, side_old, -1)
-    grid = jax.image.resize(grid, (side_new, side_new, grid.shape[-1]),
-                            method="bicubic")
+    # reference scale_factor = (side_new + 0.1) / side_old (dino issue #8)
+    scale = (side_new + 0.1) / side_old
+    m = jnp.asarray(_torch_bicubic_matrix(side_old, side_new, scale))
+    grid = pos[1:].reshape(side_old, side_old, -1).astype(jnp.float32)
+    grid = jnp.einsum("oi,ijd->ojd", m, grid)
+    grid = jnp.einsum("pj,ojd->opd", m, grid)
+    grid = grid.astype(pos.dtype)
     return jnp.concatenate([pos[:1], grid.reshape(side_new * side_new, -1)], axis=0)
 
 
@@ -315,7 +418,7 @@ class ClipVisionTower(nn.Module):
             x, probs = layer_cls(c.num_heads, c.intermediate_size,
                                  c.layer_norm_eps, c.hidden_act,
                                  self.adapters, self.dtype,
-                                 c.attention_impl,
+                                 c.attention_impl, c.fused_ln,
                                  name=f"layers_{i}")(x, output_attentions)
             if output_attentions:
                 attns.append(probs)
@@ -343,17 +446,33 @@ class ClipVisionTower(nn.Module):
 
 class ClipTextTower(nn.Module):
     """CLIP text transformer (for the language-guided codebook, reference
-    trainers/orthohash.py:94-137, and the FILIP variant)."""
+    trainers/orthohash.py:94-137, and the FILIP variant).
+
+    ``inputs_embeds`` replays the reference's
+    ImageToTextTokenCLIPTextTransformer (models/backbone/clip.py:137-214):
+    image embeddings enter directly as token embeddings (position embedding
+    still added, causal mask kept). The reference pools that path with
+    ``input_ids.argmax`` — which crashes when only embeddings are given
+    (latent upstream bug); here the embeds path pools the last token.
+    """
 
     cfg: ClipTextConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids=None, inputs_embeds=None):
         c = self.cfg
-        B, L = input_ids.shape
-        emb = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
-                       name="token_embedding")(input_ids)
+        if inputs_embeds is not None:
+            B, L = inputs_embeds.shape[:2]
+            emb = nn.Dense(c.hidden_size, dtype=self.dtype,
+                           name="embeds_adapter")(
+                inputs_embeds.astype(self.dtype)) \
+                if inputs_embeds.shape[-1] != c.hidden_size \
+                else inputs_embeds.astype(self.dtype)
+        else:
+            B, L = input_ids.shape
+            emb = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                           name="token_embedding")(input_ids)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (c.max_position_embeddings, c.hidden_size), jnp.float32)
         x = emb + pos[None, :L].astype(self.dtype)
@@ -369,8 +488,13 @@ class ClipTextTower(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
         # pooled = hidden state at the first eos token (HF CLIP pooling rule;
-        # rows without eos fall back to position 0, matching transformers)
-        eos_idx = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32), axis=-1)
+        # rows without eos fall back to position 0, matching transformers);
+        # the image-token path has no eos -> pool the last position
+        if input_ids is not None:
+            eos_idx = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32),
+                                 axis=-1)
+        else:
+            eos_idx = jnp.full((B,), L - 1, jnp.int32)
         pooled = x[jnp.arange(B), eos_idx]
         proj = nn.Dense(c.projection_dim, use_bias=False, dtype=self.dtype,
                         name="text_projection")(pooled)

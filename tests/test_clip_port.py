@@ -168,6 +168,36 @@ def test_position_embedding_resize(hf_model):
     assert out["last_hidden_state"].shape == (1, 1 + 36, vcfg.hidden_size)
 
 
+def test_bicubic_resize_matches_torch_exactly():
+    """resize_position_embedding replays the reference's torch bicubic
+    (a=-0.75, dino +0.1 scale trick — models/backbone/clip.py:70-91) to
+    float tolerance; jax.image.resize (Keys a=-0.5) was the round-1
+    documented mismatch."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from concepthash_tpu.models.clip import resize_position_embedding
+
+    rng = np.random.default_rng(3)
+    side_old, side_new, dim = 4, 7, 8
+    pos = rng.standard_normal((1 + side_old * side_old, dim)).astype(np.float32)
+
+    ours = np.asarray(resize_position_embedding(jnp.asarray(pos),
+                                                side_new * side_new))
+
+    grid = torch.from_numpy(
+        pos[1:].reshape(1, side_old, side_old, dim).transpose(0, 3, 1, 2))
+    sf = (side_new + 0.1) / side_old
+    theirs = F.interpolate(grid, scale_factor=(sf, sf), mode="bicubic")
+    assert theirs.shape[-1] == side_new
+    theirs = theirs.permute(0, 2, 3, 1).reshape(side_new * side_new,
+                                                dim).numpy()
+    np.testing.assert_array_equal(ours[0], pos[0])
+    np.testing.assert_allclose(ours[1:], theirs, rtol=1e-5, atol=1e-5)
+
+
 def test_attention_adapters_identity_and_trainable(hf_model):
     """q/k/v/out projection adapters (reference clip_add_attention_adapter_,
     models/layers/adapter.py:420-439): identity at init, params present."""
