@@ -130,6 +130,63 @@ def text_params_from_torch(state_dict, num_layers: int,
     return params
 
 
+def vit_config_from_hf(hf_cfg) -> ClipVisionConfig:
+    """Generic-ViT geometry from an HF ViTConfig (the reference's timm ViTs,
+    models/backbone/vit.py:53-159, share this geometry: biased patch embed,
+    plain gelu, no pre-LN, eps 1e-6)."""
+    return ClipVisionConfig(
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        image_size=hf_cfg.image_size,
+        patch_size=hf_cfg.patch_size,
+        projection_dim=hf_cfg.hidden_size,
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        hidden_act=hf_cfg.hidden_act,
+        patch_bias=True,
+        use_pre_layernorm=False,
+    )
+
+
+def _vit_encoder_layer(sd, prefix):
+    return {
+        "layer_norm1": _ln(sd, f"{prefix}.layernorm_before"),
+        "layer_norm2": _ln(sd, f"{prefix}.layernorm_after"),
+        "self_attn": {
+            "q_proj": _dense(sd, f"{prefix}.attention.attention.query"),
+            "k_proj": _dense(sd, f"{prefix}.attention.attention.key"),
+            "v_proj": _dense(sd, f"{prefix}.attention.attention.value"),
+            "out_proj": _dense(sd, f"{prefix}.attention.output.dense"),
+        },
+        "fc1": _dense(sd, f"{prefix}.intermediate.dense"),
+        "fc2": _dense(sd, f"{prefix}.output.dense"),
+    }
+
+
+def vit_params_from_torch(state_dict, num_layers: int) -> dict:
+    """Build the flax tower param tree from an HF torch ViTModel state_dict
+    (google/vit-* checkpoints — the weights behind the reference's timm
+    backbones). Activation parity is tested in tests/test_clip_port.py."""
+    sd = state_dict
+    params = {
+        "patch_embedding": {
+            "kernel": _t(sd["embeddings.patch_embeddings.projection.weight"]
+                         ).transpose(2, 3, 1, 0),
+            "bias": _t(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "class_embedding": _t(sd["embeddings.cls_token"]).reshape(-1),
+        "position_embedding": _t(sd["embeddings.position_embeddings"])[0],
+        # HF ViT's final `layernorm` plays the post_layernorm role (the
+        # pooler head is not part of the trunk feature)
+        "post_layernorm": _ln(sd, "layernorm"),
+        "visual_projection": None,  # ViT has no projection head
+    }
+    for i in range(num_layers):
+        params[f"layers_{i}"] = _vit_encoder_layer(sd, f"encoder.layer.{i}")
+    return params
+
+
 def merge_ported(init_params: dict, ported: dict) -> dict:
     """Overlay ported weights onto an init param tree (keeps adapter params
     and anything the checkpoint lacks, e.g. visual_projection=None)."""

@@ -168,6 +168,42 @@ def test_position_embedding_resize(hf_model):
     assert out["last_hidden_state"].shape == (1, 1 + 36, vcfg.hidden_size)
 
 
+def test_vit_port_activation_parity():
+    """HF ViTModel (the weights behind the reference's timm ViT backbones,
+    models/backbone/vit.py:53-159) ports into the generic-ViT tower with
+    CLS-feature parity on a random-init tiny geometry."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    from concepthash_tpu.models.clip_loader import (vit_config_from_hf,
+                                                    vit_params_from_torch)
+
+    hf_cfg = ViTConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       image_size=32, patch_size=8)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+
+    vcfg = vit_config_from_hf(hf_cfg)
+    assert vcfg.patch_bias and not vcfg.use_pre_layernorm
+    tower = ClipVisionTower(vcfg)
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    init = tower.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    from concepthash_tpu.models.clip_loader import merge_ported
+
+    params = merge_ported(init, vit_params_from_torch(hf.state_dict(),
+                                                      vcfg.num_layers))
+    out = tower.apply({"params": params}, jnp.asarray(imgs))
+
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    # HF last_hidden_state is post-final-LN; ours keeps it pre-post-LN and
+    # exposes the normalized CLS as cls_postnorm
+    np.testing.assert_allclose(
+        np.asarray(out["cls_postnorm"]),
+        theirs.last_hidden_state[:, 0].numpy(), rtol=2e-4, atol=2e-4)
+
+
 def test_bicubic_resize_matches_torch_exactly():
     """resize_position_embedding replays the reference's torch bicubic
     (a=-0.75, dino +0.1 scale trick — models/backbone/clip.py:70-91) to
