@@ -248,9 +248,10 @@ class EncoderLayer(nn.Module):
         # q/k/v/o adapters consume the normalized input -> fusion off there
         fused = resolve_fused_ln(self.fused_ln,
                                  x.shape[0] * x.shape[1]) and not qkvo
+        fused_qkv = fused and self.fused_ln != "pallas_mlp"
         D = x.shape[-1]
         res = x
-        if fused:
+        if fused_qkv:
             scale1, bias1 = _LNParamsMirror(name="layer_norm1")(D)
             h, probs = MultiHeadAttention(self.num_heads, self.dtype,
                                           self.attention_impl,

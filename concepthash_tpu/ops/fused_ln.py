@@ -129,29 +129,23 @@ def _fused_bwd(eps, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-# 'auto' resolution, from measurement (scripts/bench_fused_ln.py, v5e bf16,
-# fetch-fenced): at N=51200 rows (ViT-B/32 @ b1024) the kernel wins 1.97x on
-# qkv (768->2304) and 1.16x on fc1 (768->3072); at N~13k (b256) XLA's
-# composition is at parity or ahead (0.98x / 0.74x) — the weight-resident
-# pipeline needs enough rows to amortize. Threshold between the two measured
-# regimes.
-_AUTO_MIN_ROWS = 32768
-
-
+# 'auto' resolution — measured BOTH ways on v5e (bf16, fetch-fenced):
+# isolated op (scripts/bench_fused_ln.py): the kernel wins 1.97x on qkv
+# (768->2304 @ 51200 rows) and 1.16x on fc1 (768->3072); END-TO-END
+# (scripts/ab_fused_encode.py, ViT-B/32 encode @ b1024): xla 8075 img/s,
+# fused qkv+fc1 5412, fused fc1-only 6437 — the custom-call boundary
+# breaks XLA's cross-op fusion/overlap and costs far more than the LN
+# round-trips saved. 'auto' therefore resolves to the XLA composition;
+# 'pallas'/'pallas_mlp' stay for experimentation (and as the measured
+# record that op-level microbenches do not transfer across fusion
+# boundaries).
 def resolve_fused_ln(impl: str, n_rows: int | None = None) -> bool:
-    """'pallas' forces the kernel (interpret mode off-TPU); 'xla' forces the
-    composition; 'auto' uses the kernel on single-chip TPU for large row
-    counts (measured threshold above). Multi-device 'auto' stays on XLA: a
-    pallas custom call has no GSPMD partitioning rule, so the compiler would
-    all-gather the sharded batch around it — force 'pallas' only under an
-    explicit shard_map."""
-    if impl == "pallas":
+    """'pallas' forces the full fusion, 'pallas_mlp' only LN2->fc1
+    (interpret mode off-TPU); 'xla'/'auto' use the XLA composition (the
+    end-to-end winner, see above)."""
+    if impl in ("pallas", "pallas_mlp"):
         return _HAS_PALLAS
-    if impl == "xla":
-        return False
-    return (_HAS_PALLAS and jax.default_backend() == "tpu"
-            and len(jax.devices()) == 1
-            and n_rows is not None and n_rows >= _AUTO_MIN_ROWS)
+    return False
 
 
 def ln_matmul(x, gamma, beta, w, bias, *, eps: float = 1e-5,
