@@ -120,6 +120,8 @@ class RetrievalExperiment:
         cache = bool(cfg.get("cache_images", len(self.datasets["train"]) < 20000))
         seed = int(cfg.get("seed", 42))
         native = bool(cfg.get("native_decode", False))
+        self._loader_kw = dict(resize=resize, cache=cache,
+                               native_decode=native)
         self.loaders = {
             "train": Loader(self.datasets["train"], bs, resize=resize,
                             shuffle=True, drop_last=True, seed=seed,
@@ -280,27 +282,45 @@ class RetrievalExperiment:
                      100 * (self._structure < 0).mean())
 
     def _odc_setup(self):
-        """(Re)cluster extracted train features into nclass pseudo-labels."""
+        """Seed the ODC memory (reference prepare_before_first_epoch,
+        trainers/odc.py:105-121): extract every train code in dataset order,
+        k-means into nclass clusters (sklearn; reference uses faiss niter=50),
+        and load features/labels/centroids/weights into TrainState.extra for
+        the on-device online updates (_odc_step)."""
         from sklearn.cluster import KMeans
 
-        feats, _, _ = self.encode_split("train")
+        n = len(self.datasets["train"])
+        nbit = int(self.config["model"]["nbit"])
         k = int(self.config["model"]["nclass"])
+        bs = int(self.config.get("batch_size", 64))
+        feats = np.zeros((n, nbit), np.float32)
+        loader = Loader(self.datasets["train"], bs, shuffle=False,
+                        drop_last=False, **self._loader_kw)
+        for batch in loader:
+            nv = batch.pop("n_valid")
+            codes, _ = self.eval_step(self.state, shard_batch(batch, self.mesh))
+            feats[batch["index"][:nv]] = np.asarray(codes["codes"])[:nv]
+        feats /= np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
         km = KMeans(n_clusters=k, n_init=3,
-                    random_state=int(self.config.get("seed", 42)))
-        labels = km.fit_predict(np.asarray(feats["codes"], np.float64))
-        self._pseudo = np.eye(k, dtype=np.float32)[labels]
-        logging.info("odc: reclustered into %d pseudo-classes "
-                     "(largest %.1f%%)", k,
-                     100 * np.bincount(labels, minlength=k).max() / len(labels))
+                    random_state=int(self.config.get("seed", 42))).fit(feats)
+        labels = km.labels_.astype(np.int32)
+        counts = np.bincount(labels, minlength=k).astype(np.float32)
+        rw = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+        rw = rw / max(rw.sum() / max((counts > 0).sum(), 1), 1e-12)
+        extra = {"features": feats,
+                 "labels": labels,
+                 "centroids": km.cluster_centers_.astype(np.float32),
+                 "weights": rw.astype(np.float32)}
+        self.state = self.state.replace(extra=replicate(extra, self.mesh))
+        logging.info("odc: initial k-means into %d clusters (largest %.1f%%)",
+                     k, 100 * counts.max() / max(n, 1))
 
     def train_one_epoch(self, ep: int) -> dict:
         if self.method.needs_structure and not hasattr(self, "_structure"):
             self._prepare_structure()
-        if self.method.regime == "odc":
-            interval = int((self.config.get("criterion") or {})
-                           .get("cluster_interval", 5))
-            if ep > 0 and interval > 0 and ep % interval == 0:
-                self._odc_setup()
+        if self.method.regime == "odc" and "features" not in (
+                self.state.extra or {}):
+            self._odc_setup()  # one-time memory init; updates run in-step
         meters = MeterBank()
         t0 = time.time()
         pending: list[tuple[dict, int]] = []  # (batch, n_valid) awaiting a chunk
@@ -320,8 +340,6 @@ class RetrievalExperiment:
             if self.method.needs_structure:
                 idx = batch["index"]
                 batch["aux"] = self._structure[np.ix_(idx, idx)]
-            if self.method.regime == "odc":
-                batch["label"] = self._pseudo[batch["index"]]
             if self.train_multi_step is not None:
                 pending.append((batch, n))
                 if len(pending) == self.train_chunk:
@@ -453,8 +471,6 @@ class RetrievalExperiment:
             return self._main_shallow()
         if self.method.regime == "adsh":
             return self._main_adsh()
-        if self.method.regime == "odc":
-            self._odc_setup()
         from concepthash_tpu.utils.diagnostics import guarded_training
 
         cfg = self.config

@@ -503,14 +503,99 @@ register_method(Method("tbh", _build_tbh, _null_loss, unsupervised=True,
                        custom_step=_tbh_step, init_extra=_tbh_extra))
 
 
-# ODC — online deep clustering pseudo-label training (reference
-# trainers/odc.py:52-171 keeps a faiss-kmeans memory bank updated per
-# iteration; here: sklearn k-means (re)clustering of extracted features every
-# cluster_interval epochs refreshes the pseudo-labels — a documented
-# per-epoch simplification of the online centroid updates)
+# ODC — online deep clustering (reference trainers/odc.py:10-49,105-171):
+# a per-sample feature memory EMA-updated every step (Memory.update,
+# momentum 0.5), per-batch pseudo-label reassignment to the nearest
+# centroid, and a full centroid recomputation every update_interval steps —
+# all on-device inside the jitted step (the reference round-trips codes to
+# CPU each batch). Initial clustering: sklearn k-means over extracted
+# features (reference uses faiss.Kmeans niter=50 — faiss absent here).
+# Cluster-size loss reweighting follows the ODC paper (Zhan et al., CVPR
+# 2020, w_c ∝ N_c^-0.5) since the upstream loss module is a missing sdc
+# import (criterion.set_reweight, trainers/odc.py:119,164).
+def _odc_step(model, config, tx, preprocess_fn, total_steps):
+    import optax
+
+    from concepthash_tpu.train.state import accuracy_metrics
+
+    crit = dict(config.get("criterion", {}) or {})
+    momentum = float(crit.get("memory_momentum", 0.5))
+    interval = int(crit.get("update_interval", 10))
+    nclass = int(config["model"]["nclass"])
+
+    def step_fn(state, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        images = batch["image"]
+        if preprocess_fn is not None:
+            images = preprocess_fn(images, jax.random.fold_in(rng, 7))
+        idx = batch["index"]
+        pseudo = state.extra["labels"][idx]
+        y = jax.nn.one_hot(pseudo, nclass, dtype=jnp.float32)
+        w = state.extra["weights"][pseudo]
+
+        def compute(params):
+            vars_in = {"params": params}
+            if state.batch_stats:
+                vars_in["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(vars_in, images, train=True,
+                                       rngs={"dropout": rng},
+                                       mutable=["batch_stats"])
+            ce = optax.softmax_cross_entropy(
+                out["logits"].astype(jnp.float32), y)
+            loss = (ce * w).mean()
+            return loss, (mutated.get("batch_stats", state.batch_stats), out)
+
+        (loss, (new_bs, out)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+
+        # memory EMA toward the L2-normalized new codes (Memory.update :24-34)
+        feats = jax.lax.stop_gradient(out["codes"]).astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        cur = state.extra["features"][idx]
+        new_rows = cur - momentum * (cur - feats)
+        mem = state.extra["features"].at[idx].set(new_rows)
+        # reassign this batch's labels against the CURRENT centroids
+        cents = state.extra["centroids"]
+        d = ((new_rows[:, None] - cents[None]) ** 2).sum(-1)
+        labels = state.extra["labels"].at[idx].set(
+            jnp.argmin(d, axis=1).astype(jnp.int32))
+
+        def refresh(_):
+            onehot = jax.nn.one_hot(labels, nclass, dtype=jnp.float32)
+            counts = onehot.sum(axis=0)
+            sums = onehot.T @ mem
+            new_c = sums / jnp.maximum(counts[:, None], 1.0)
+            # empty clusters keep their old centroid (the reference's
+            # mean-of-empty is NaN — latent upstream bug, odc.py:40-43)
+            new_c = jnp.where(counts[:, None] > 0, new_c, cents)
+            rw = jnp.where(counts > 0, 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0)),
+                           0.0)
+            rw = rw / jnp.maximum(rw.sum() / jnp.maximum((counts > 0).sum(), 1),
+                                  1e-12)
+            return new_c, rw
+
+        centroids, weights = jax.lax.cond(
+            (state.step + 1) % interval == 0, refresh,
+            lambda _: (cents, state.extra["weights"]), None)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_bs, opt_state=new_opt,
+            extra={"features": mem, "labels": labels,
+                   "centroids": centroids, "weights": weights})
+        metrics = {"loss": loss, "ce": loss, **accuracy_metrics(out, y)}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 register_method(Method(
     "odc", functools.partial(_build_baseline, "ce"),
-    _simple_loss(L.ce_loss), unsupervised=True, regime="odc"))
+    _simple_loss(L.ce_loss), unsupervised=True, regime="odc",
+    custom_step=_odc_step))
 
 # shallow methods: model = descriptor trunk; fit happens in the driver
 for _name in ("itq", "pca", "lsh", "sh"):

@@ -71,6 +71,55 @@ def test_method_builds_and_steps(name, rng):
     assert np.isfinite(float(metrics2["loss"])), name
 
 
+def test_odc_online_memory_updates(rng):
+    """ODC custom step (reference trainers/odc.py:10-49,105-171): the
+    per-sample memory EMAs toward the new codes, the batch's pseudo-labels
+    are reassigned against the current centroids, and the centroid refresh
+    fires on the update_interval boundary."""
+    cfg = make_config("odc", update_interval=2, memory_momentum=0.5)
+    method = M.get_method("odc")
+    assert method.custom_step is not None
+    model = method.build_model(cfg, None)
+
+    sample = jnp.zeros((8, 16, 16, 3))
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "dropout": jax.random.fold_in(k, 1)},
+                        sample, train=True)["params"]
+    tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 2, 2, params, 0.0)
+    state = create_train_state(model, tx, sample, k)
+
+    n, nbit, nclass = 16, 16, 4
+    feats = rng.standard_normal((n, nbit)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels = rng.integers(0, nclass, n).astype(np.int32)
+    cents = np.stack([feats[labels == c].mean(0) for c in range(nclass)])
+    state = state.replace(extra={
+        "features": jnp.asarray(feats), "labels": jnp.asarray(labels),
+        "centroids": jnp.asarray(cents),
+        "weights": jnp.ones((nclass,), jnp.float32)})
+
+    step = method.custom_step(model, cfg, tx, None, 4)
+    idx = np.arange(8, dtype=np.int32)
+    batch = {"image": jnp.asarray(rng.standard_normal((8, 16, 16, 3)),
+                                  jnp.float32),
+             "label": jnp.zeros((8, nclass), jnp.float32),
+             "index": jnp.asarray(idx)}
+    state1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    # touched memory rows moved, untouched rows identical
+    f1 = np.asarray(state1.extra["features"])
+    assert not np.allclose(f1[:8], feats[:8])
+    np.testing.assert_array_equal(f1[8:], feats[8:])
+    # step 1: (0+1) % 2 != 0 -> no centroid refresh yet
+    np.testing.assert_array_equal(np.asarray(state1.extra["centroids"]), cents)
+    state2, _ = step(state1, batch)
+    # step 2: refresh fires; centroids move toward the updated memory
+    assert not np.allclose(np.asarray(state2.extra["centroids"]), cents)
+    # reassigned labels stay in range
+    l2 = np.asarray(state2.extra["labels"])
+    assert l2.min() >= 0 and l2.max() < nclass
+
+
 def test_language_codebook_continuous_and_quantized():
     cfg = make_config("concepthash")
     cfg["model"]["fixed_center"] = {"codebook_method": "L", "quantized": False,
