@@ -26,7 +26,8 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-METHODS = ["ce", "orthohash", "csq", "concepthash"]
+METHODS = ["ce", "orthohash", "csq", "concepthash",
+           "dpn", "hashnet", "dtsh", "greedyhash"]
 
 
 def run_side(script: str, method: str, epochs: int) -> None:
@@ -112,7 +113,11 @@ def main():
     ap.add_argument("--methods", nargs="*", default=METHODS)
     args = ap.parse_args()
 
+    out = os.path.join(HERE, "RESULTS.json")
     results = {}
+    if os.path.exists(out):  # merge partial runs into the existing record
+        with open(out) as f:
+            results = json.load(f)
     for m in args.methods:
         if not args.no_run:
             run_side("run_reference.py", m, args.epochs)
@@ -134,11 +139,11 @@ def main():
         results[m] = row
         print(json.dumps({m: row}, indent=2), flush=True)
 
-    results["metric_cross_check"] = cross_check_metric(
-        os.path.join(HERE, "runs", "ref_concepthash"))
+    ref_ch = os.path.join(HERE, "runs", "ref_concepthash")
+    if os.path.exists(ref_ch):
+        results["metric_cross_check"] = cross_check_metric(ref_ch)
     results["binarizer_check"] = check_binarizers()
 
-    out = os.path.join(HERE, "RESULTS.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"\nwrote {out}\n")
@@ -154,11 +159,12 @@ def main():
               f"{r['reference']['last_loss']:.3f} | "
               f"{r['rebuild']['first_loss']:.3f} -> "
               f"{r['rebuild']['last_loss']:.3f} |")
-    cc = results["metric_cross_check"]
-    print(f"\nmetric cross-check (ref codes, torch vs JAX scorer): "
-          f"mAP diff {cc['mAP_abs_diff']:.2e}, "
-          f"P diff {cc['precision_abs_diff']:.2e}, "
-          f"R diff {cc['recall_abs_diff']:.2e}")
+    cc = results.get("metric_cross_check")
+    if cc:
+        print(f"\nmetric cross-check (ref codes, torch vs JAX scorer): "
+              f"mAP diff {cc['mAP_abs_diff']:.2e}, "
+              f"P diff {cc['precision_abs_diff']:.2e}, "
+              f"R diff {cc['recall_abs_diff']:.2e}")
     print(f"binarizer: sklearn-PCA vs explicit-SVD bit agreement "
           f"{results['binarizer_check']['pca_column_agreement']:.4f}")
 

@@ -79,6 +79,10 @@ def main():
 
     h = hadamard(NBIT).astype(np.float32)
     np.save(os.path.join(out, "codebook_H.npy"), h[:NCLASS])
+
+    # Bernoulli +-1 codebook (DPN's 'B' recipe, ref orthohash.py:68-70)
+    cb_b = (rng.random((NCLASS, NBIT)) < 0.5).astype(np.float32) * 2 - 1
+    np.save(os.path.join(out, "codebook_B.npy"), cb_b)
     print(f"shared center ({center.shape}) + codebooks ({cb_n.shape}) saved")
 
 

@@ -21,7 +21,8 @@ REPO = os.path.dirname(HERE)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
-                    choices=["ce", "orthohash", "csq", "concepthash"])
+                    choices=["ce", "orthohash", "csq", "concepthash",
+                             "dpn", "hashnet", "dtsh", "greedyhash"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
@@ -39,7 +40,10 @@ def main():
     logdir = args.logdir or os.path.join(HERE, "runs", f"rebuild_{args.method}")
 
     model_group = {"ce": "ce_adapter", "orthohash": "orthohash_adapter",
-                   "csq": "csq_adapter", "concepthash": "concepthash"}[args.method]
+                   "csq": "csq_adapter", "concepthash": "concepthash",
+                   "dpn": "dpn_adapter", "hashnet": "hashnet_adapter",
+                   "dtsh": "dtsh_adapter",
+                   "greedyhash": "sgh_adapter"}[args.method]
 
     overrides = [
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
@@ -68,6 +72,11 @@ def main():
         overrides += [
             "criterion.codebook.codebook_method=file",
             f"criterion.codebook.path={assets}/codebook_H.npy",
+        ]
+    elif args.method == "dpn":
+        overrides += [
+            "criterion.codebook.codebook_method=file",
+            f"criterion.codebook.path={assets}/codebook_B.npy",
         ]
 
     sys.path.insert(0, REPO)

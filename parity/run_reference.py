@@ -108,6 +108,58 @@ def _model_block(method: str, assets: str, clip_dir: str):
                                        "path": os.path.join(assets, "codebook_H.npy")},
                           "lambda_q": 0.001},
         }
+    if method == "dpn":
+        # configs/model/dpn_adapter.yaml (codebook B -> shared file)
+        return {
+            "model": {"_target_": "models.arch.dpn.DPN",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.dpn.DPNTrainer"},
+            "criterion": {"_target_": "models.loss.dpn.DPNLoss",
+                          "multiclass": False, "sl": 1, "margin": 1, "reg": 0,
+                          "codebook": {"_target_": "parity_assets.load_center",
+                                       "path": os.path.join(assets, "codebook_B.npy")}},
+        }
+    if method == "hashnet":
+        # configs/model/hashnet_adapter.yaml (step_continuation: ${epochs})
+        return {
+            "model": {"_target_": "models.arch.hashnet.HashNet",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.hashnet.HashNetTrainer"},
+            "criterion": {"_target_": "models.loss.hashnet.HashNetLoss",
+                          "alpha": 1, "beta": 1, "step_continuation": "EPOCHS",
+                          "train_size": 0, "keep_train_size": 0,
+                          "nbit": NBIT, "nclass": NCLASS},
+        }
+    if method == "dtsh":
+        # configs/model/dtsh_adapter.yaml
+        return {
+            "model": {"_target_": "models.arch.dtsh.DTSH",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.dtsh.DTSHTrainer"},
+            "criterion": {"_target_": "models.loss.dtsh.DTSHLoss",
+                          "alpha": 5, "lmbd": 1},
+        }
+    if method == "greedyhash":
+        # configs/model/sgh_adapter.yaml
+        return {
+            "model": {"_target_": "models.arch.gh.SupGreedyHash",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.gh.SupGHTrainer"},
+            "criterion": {"_target_": "models.loss.gh.SupGHLoss",
+                          "multiclass": False, "alpha": 0.1, "pow": 3.0},
+        }
     if method == "concepthash":
         # configs/model/concept_hash_final_v1_nosa_apt.yaml (language center
         # -> shared continuous center file; text_projection MLP widths scaled
@@ -170,14 +222,18 @@ def compose(method: str, assets: str, logdir: str, epochs: int, seed: int):
         "scheduler": {"_target_": "utils.lr_scheduler.cosine_decay_linear_warmup",
                       "epochs": epochs, "warmup_epochs": max(epochs // 10, 1)},
     }
-    cfg.update(_model_block(method, assets, clip_dir))
+    block = _model_block(method, assets, clip_dir)
+    if block["criterion"].get("step_continuation") == "EPOCHS":
+        block["criterion"]["step_continuation"] = epochs
+    cfg.update(block)
     return cfg
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
-                    choices=["ce", "orthohash", "csq", "concepthash"])
+                    choices=["ce", "orthohash", "csq", "concepthash",
+                             "dpn", "hashnet", "dtsh", "greedyhash"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
