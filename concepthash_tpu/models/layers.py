@@ -18,19 +18,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _group_normalize(v, group: int):
+    """L2-normalize per contiguous sub-group of the last dim, then flatten."""
+    g = v.reshape(*v.shape[:-1], group, -1)
+    g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
+    return g.reshape(*v.shape)
+
+
 class CosSim(nn.Module):
     """Cosine-similarity classifier: normalize(x) @ normalize(centroids)^T.
 
     ``codebook``: optional fixed (nclass, nfeat) centroids; ``learn_cent``
-    False registers them as a constant instead of a parameter
-    (reference models/layers/cossim.py:6-82, group/single_quan paths omitted —
-    unused by the runnable configs, SURVEY.md §2.4).
+    False registers them as a constant instead of a parameter.
+    ``group``: per-sub-code cosine (both sides normalized per group, logits
+    averaged over groups); ``single_quan``: averages the group-cosine logits
+    against the continuous and the signed centroids (a built-in quantization
+    objective); ``input_group``: group-normalizes only the input side.
+    (reference models/layers/cossim.py:6-82 — all paths.)
     """
 
     nfeat: int
     nclass: int
     codebook: Optional[jnp.ndarray] = None
     learn_cent: bool = True
+    group: int = 1
+    single_quan: bool = False
+    input_group: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,9 +60,27 @@ class CosSim(nn.Module):
         cent = cent.astype(self.dtype)
         if sign_centroids:
             cent = jnp.sign(cent)
-        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
-        cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
-        return jnp.dot(xn, cn.T, preferred_element_type=jnp.float32)
+        if self.single_quan:
+            # (cossim.py:47-60) group-cosine against continuous AND signed
+            # centroids, averaged — quantization pressure inside the logits
+            xn = _group_normalize(x, self.group)
+            cn = _group_normalize(cent, self.group)
+            cs = jnp.sign(cn)
+            l1 = jnp.dot(xn, cn.T, preferred_element_type=jnp.float32)
+            l2 = jnp.dot(xn, cs.T, preferred_element_type=jnp.float32)
+            return (l1 + l2) * 0.5 / self.group
+        if self.input_group != 1:
+            # (cossim.py:63-68) group-normalize then re-normalize the input;
+            # centroids normalized whole
+            xn = _group_normalize(x, self.input_group)
+            xn = xn / (jnp.linalg.norm(xn, axis=-1, keepdims=True) + 1e-12)
+            cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
+            return jnp.dot(xn, cn.T,
+                           preferred_element_type=jnp.float32) / self.group
+        xn = _group_normalize(x, self.group)
+        cn = _group_normalize(cent, self.group)
+        return jnp.dot(xn, cn.T,
+                       preferred_element_type=jnp.float32) / self.group
 
 
 def sign_ste(x):
