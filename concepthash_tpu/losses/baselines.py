@@ -20,6 +20,8 @@ from concepthash_tpu.losses.common import (
 )
 from concepthash_tpu.ops.retrieval import get_sim, log_trick
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 # ---------------------------------------------------------------------------
 # OrthoHash (reference models/loss/orthohash.py:26-123)
@@ -209,8 +211,7 @@ def unsup_greedyhash_loss(outputs, onehot, alpha: float = 1.0, pow: float = 3.0,
     n = (x.shape[0] // 2) * 2
     x, b = x[:n], b[:n]
     half = n // 2
-    cos = lambda a, c: (a * c).sum(-1) / (
-        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(c, axis=-1) + 1e-12)
+    cos = lambda a, c: (l2_normalize(a) * l2_normalize(c)).sum(-1)
     tb = cos(b[:half], b[half:])
     tx = jax.lax.stop_gradient(cos(x[:half], x[half:]))
     loss1 = ((tb - tx) ** 2).mean()

@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 def soft_cross_entropy(logits, soft_labels):
     """-sum(p * log_softmax(logits)) averaged over batch. soft_labels rows
@@ -45,9 +47,9 @@ def arc_margin_logits(logits, onehot, margin: float, scale: float):
 def quantization_cosine(codes):
     """1 - cos(codes, sign(codes)) mean — the standard quantization gap."""
     s = jnp.sign(codes)
-    num = (codes * s).sum(-1)
-    den = jnp.linalg.norm(codes, axis=-1) * jnp.sqrt((s != 0).sum(-1).astype(jnp.float32) + 1e-12)
-    return (1.0 - num / (den + 1e-12)).mean()
+    num = (l2_normalize(codes) * s).sum(-1)
+    den = jnp.sqrt((s != 0).sum(-1).astype(jnp.float32) + 1e-12)
+    return (1.0 - num / den).mean()
 
 
 def binary_cross_entropy_with_logits(logits, targets):

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from concepthash_tpu.losses.common import margin_ce, margin_logits, quantization_cosine
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 DEFAULT_SCALES = {
     "logits": 0.0,
     "hash_logits": 0.0,
@@ -119,7 +121,7 @@ def attention_diversity(attn_cache, ncontext: int, nregs: int = 0,
     else:
         maps = attn[:, :, -ncontext:, 1:-ncontext]
     maps = maps.mean(axis=1)  # (B, Q, P) mean over heads
-    maps = maps / (jnp.linalg.norm(maps, axis=-1, keepdims=True) + 1e-12)
+    maps = l2_normalize(maps)
     cos = jnp.einsum("bqp,bkp->bqk", maps, maps)
     if div_method == 0:
         cos = jax.nn.relu(cos - div_min)

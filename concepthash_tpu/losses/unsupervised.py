@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 # ---------------------------------------------------------------------------
 # CIBHash
@@ -39,7 +41,7 @@ def cibhash_loss(outputs, onehot, temperature: float = 0.3, beta: float = 1e-3,
 
     z1, z2 = z[:n], z[n:2 * n]
     za = jnp.concatenate([z1, z2], axis=0)
-    za = za / (jnp.linalg.norm(za, axis=-1, keepdims=True) + 1e-12)
+    za = l2_normalize(za)
     sim = jnp.dot(za, za.T, preferred_element_type=jnp.float32) / temperature
     mask = jnp.eye(2 * n, dtype=bool)
     sim = jnp.where(mask, -1e9, sim)
@@ -77,8 +79,7 @@ def bihalf_loss(outputs, onehot, alpha: float = 0.01, gamma: float = 6.0, **_):
     b = bihalf_binarize(h, gamma)
     n = (x.shape[0] // 2) * 2
     half = n // 2
-    cos = lambda a, c: (a * c).sum(-1) / (
-        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(c, axis=-1) + 1e-12)
+    cos = lambda a, c: (l2_normalize(a) * l2_normalize(c)).sum(-1)
     tb = cos(b[:half], b[half:n])
     tx = jax.lax.stop_gradient(cos(x[:half], x[half:n]))
     loss1 = ((tb - tx) ** 2).mean()
@@ -118,7 +119,7 @@ def ssdh_loss(outputs, onehot, S_batch=None, **_):
     if S_batch is None:  # eval batches carry no structure
         return jnp.float32(0.0), {}
     h = jnp.tanh(outputs["codes"])
-    hn = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-12)
+    hn = l2_normalize(h)
     sim = jnp.dot(hn, hn.T, preferred_element_type=jnp.float32)
     S_batch = jnp.asarray(S_batch)
     mask = (S_batch != 0).astype(jnp.float32)
@@ -169,13 +170,13 @@ def nsh_loss(outputs, onehot, tau: float = 1.0, temperature: float = 0.3,
     sort_loss = -logp[jnp.arange(n2), pos].mean()
 
     # ---- NT-Xent on latents ----
-    zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+    zn = l2_normalize(z)
     sim = jnp.dot(zn, zn.T, preferred_element_type=jnp.float32) / temperature
     sim = jnp.where(jnp.eye(n2, dtype=bool), -1e9, sim)
     contrastive = -jax.nn.log_softmax(sim, axis=-1)[jnp.arange(n2), pos].mean()
 
     # ---- quantization ----
-    bn = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-12)
+    bn = l2_normalize(b)
     quan = (1.0 - (bn * jnp.sign(b) / jnp.sqrt(nbit)).sum(-1)).mean()
 
     total = sort_loss + lambda_c * contrastive + lambda_q * quan

@@ -20,6 +20,8 @@ from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
 from concepthash_tpu.models.layers import CodeBatchNorm, CosSim, sign_ste
 from concepthash_tpu.models.trunk import Trunk
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 @dataclasses.dataclass(frozen=True)
 class BaselineConfig:
@@ -67,8 +69,8 @@ class BaselineHashNet(nn.Module):
             # trainers/clip.py:13-117 trains logit_scale + adapters/heads)
             pooled = enc["pooled"].astype(jnp.float32)  # projected CLS
             cent = jnp.asarray(self.codebook, jnp.float32)
-            pn = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-12)
-            cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
+            pn = l2_normalize(pooled)
+            cn = l2_normalize(cent)
             logit_scale = self.param(
                 "logit_scale", lambda *_: jnp.log(jnp.float32(1 / 0.07)), ())
             out["codes"] = pooled

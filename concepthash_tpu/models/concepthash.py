@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig, ClipVisionTower
 from concepthash_tpu.models.layers import CodeBatchNorm, CosSim, MLP
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 @dataclasses.dataclass(frozen=True)
 class SelfAttnLastConfig:
@@ -275,8 +277,8 @@ class ConceptHash(nn.Module):
                          name="text_projection")(raw.astype(self.dtype))
             center = center.astype(jnp.float32)
 
-        codes_n = codes / (jnp.linalg.norm(codes, axis=-1, keepdims=True) + 1e-12)
-        center_n = center / (jnp.linalg.norm(center, axis=-1, keepdims=True) + 1e-12)
+        codes_n = l2_normalize(codes)
+        center_n = l2_normalize(center)
         cont_logits = jnp.dot(codes_n, center_n.T, preferred_element_type=jnp.float32)
         bin_logits = jnp.dot(codes_n, (jnp.sign(center_n) / (c.nbit ** 0.5)).T,
                              preferred_element_type=jnp.float32)
@@ -320,8 +322,8 @@ class ConceptHash(nn.Module):
                 "constants", "token_embeds",
                 lambda: jnp.asarray(self.token_embeds, jnp.float32)).value
             hf = projected_concepts.astype(jnp.float32)  # (B, M, proj)
-            hf = hf / (jnp.linalg.norm(hf, axis=-1, keepdims=True) + 1e-12)
-            tf = tok / (jnp.linalg.norm(tok, axis=-1, keepdims=True) + 1e-12)
+            hf = l2_normalize(hf)
+            tf = l2_normalize(tok)
             sim = jnp.einsum("bmd,ctd->bcmt", hf.astype(jnp.float32), tf)
             i2t = sim.max(axis=-1).mean(axis=-1)   # max text tok, mean concepts
             t2i = sim.max(axis=-2).mean(axis=-1)   # max concepts, mean text tok

@@ -25,6 +25,8 @@ from concepthash_tpu.models.clip import (
 )
 from concepthash_tpu.models.layers import MLP
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 def _trunk_tokens(module, images, train):
     """Patch/spatial tokens from the configured trunk (CLIP/ViT token grid or
@@ -63,8 +65,8 @@ class TempCE(nn.Module):
                           lambda: jnp.asarray(self.center, jnp.float32)).value
         dims = ((c.shape[1], self.nbit) if self.nonlinear else (self.nbit,))
         w = MLP(dims, dtype=self.dtype, name="tp")(c.astype(self.dtype))
-        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
-        wn = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+        xn = l2_normalize(x)
+        wn = l2_normalize(w)
         return self.temp * jnp.dot(xn, wn.T, preferred_element_type=jnp.float32)
 
 

@@ -20,9 +20,10 @@ import jax.numpy as jnp
 
 def _group_normalize(v, group: int):
     """L2-normalize per contiguous sub-group of the last dim, then flatten."""
+    from concepthash_tpu.ops.numerics import l2_normalize
+
     g = v.reshape(*v.shape[:-1], group, -1)
-    g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
-    return g.reshape(*v.shape)
+    return l2_normalize(g).reshape(*v.shape)
 
 
 class CosSim(nn.Module):
@@ -72,9 +73,10 @@ class CosSim(nn.Module):
         if self.input_group != 1:
             # (cossim.py:63-68) group-normalize then re-normalize the input;
             # centroids normalized whole
-            xn = _group_normalize(x, self.input_group)
-            xn = xn / (jnp.linalg.norm(xn, axis=-1, keepdims=True) + 1e-12)
-            cn = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-12)
+            from concepthash_tpu.ops.numerics import l2_normalize
+
+            xn = l2_normalize(_group_normalize(x, self.input_group))
+            cn = l2_normalize(cent)
             return jnp.dot(xn, cn.T,
                            preferred_element_type=jnp.float32) / self.group
         xn = _group_normalize(x, self.group)

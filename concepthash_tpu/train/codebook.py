@@ -229,8 +229,7 @@ def ae_fit(embedding: np.ndarray, nbit: int, method: str = "ae",
     if induced:
         params["queries"] = jax.random.normal(ks[4], (n_induced, d), jnp.float32)
 
-    def l2n(v):
-        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+    from concepthash_tpu.ops.numerics import l2_normalize as l2n
 
     if not induced:
         if variant == "ae_cossim":

@@ -23,6 +23,8 @@ import optax
 
 from concepthash_tpu.train.state import TrainState
 
+from concepthash_tpu.ops.numerics import l2_normalize
+
 
 def _ema(old, new, m):
     return jax.tree_util.tree_map(lambda o, n: o * m + n * (1 - m), old, new)
@@ -88,8 +90,8 @@ def make_moco_step(model, tx, preprocess_fn: Callable,
 
 
 def _info_nce(q, k, temperature):
-    qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-    kn = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+    qn = l2_normalize(q)
+    kn = l2_normalize(k)
     logits = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32) / temperature
     labels = jnp.arange(q.shape[0])
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
