@@ -27,7 +27,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 METHODS = ["ce", "orthohash", "csq", "concepthash",
-           "dpn", "hashnet", "dtsh", "greedyhash"]
+           "dpn", "hashnet", "dtsh", "greedyhash", "a2net_ce", "semicon_ce"]
 
 
 def run_side(script: str, method: str, epochs: int) -> None:

@@ -22,7 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
-                             "dpn", "hashnet", "dtsh", "greedyhash"])
+                             "dpn", "hashnet", "dtsh", "greedyhash",
+                             "a2net_ce", "semicon_ce"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
@@ -43,7 +44,9 @@ def main():
                    "csq": "csq_adapter", "concepthash": "concepthash",
                    "dpn": "dpn_adapter", "hashnet": "hashnet_adapter",
                    "dtsh": "dtsh_adapter",
-                   "greedyhash": "sgh_adapter"}[args.method]
+                   "greedyhash": "sgh_adapter",
+                   "a2net_ce": "a2net_ce_adapter",
+                   "semicon_ce": "semicon_ce_adapter"}[args.method]
 
     overrides = [
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",

@@ -160,6 +160,33 @@ def _model_block(method: str, assets: str, clip_dir: str):
             "criterion": {"_target_": "models.loss.gh.SupGHLoss",
                           "multiclass": False, "alpha": 0.1, "pow": 3.0},
         }
+    if method == "a2net_ce":
+        # configs/model/a2net_ce_adapter.yaml
+        return {
+            "model": {"_target_": "models.arch.a2net_ce.A2NetCE",
+                      "num_attns": 4,
+                      "backbone": {"_target_": "parity_assets.clip_vision_tiny",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.a2net_ce.A2NetCETrainer"},
+            "criterion": {"_target_": "models.loss.a2net_ce.A2NetCELoss",
+                          "gamma": 0, "hash": 1, "decorr": 0.01},
+        }
+    if method == "semicon_ce":
+        # configs/model/semicon_ce_adapter.yaml
+        return {
+            "model": {"_target_": "models.arch.semicon_ce.SEMICONCEWithAdapter",
+                      "backbone": {"_target_": "parity_assets.clip_vision_tiny",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "loss_method": "ce", "nattns": 4,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.semicon_ce.SEMICONCETrainer"},
+            "criterion": {"_target_": "models.loss.semicon_ce.SEMICONCELoss",
+                          "multiclass": False, "gamma": 0.001,
+                          "loss_method": "ce"},
+        }
     if method == "concepthash":
         # configs/model/concept_hash_final_v1_nosa_apt.yaml (language center
         # -> shared continuous center file; text_projection MLP widths scaled
@@ -233,7 +260,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
-                             "dpn", "hashnet", "dtsh", "greedyhash"])
+                             "dpn", "hashnet", "dtsh", "greedyhash",
+                             "a2net_ce", "semicon_ce"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
