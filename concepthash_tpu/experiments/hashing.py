@@ -28,6 +28,7 @@ from concepthash_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
 from concepthash_tpu.ops.retrieval import calculate_mAP, calculate_pr_curve
 from concepthash_tpu.train.optim import build_optimizer, current_lr
 from concepthash_tpu.train.state import (create_train_state, make_eval_step,
+                                         make_multi_eval_step,
                                          make_multi_train_step, make_train_step)
 from concepthash_tpu.utils import io
 from concepthash_tpu.utils.logger import HistoryWriter, setup_logging
@@ -265,6 +266,10 @@ class RetrievalExperiment:
                     output_attentions=out_attn, preprocess_fn=train_pp)
         self.eval_step = make_eval_step(self.model, self.loss_fn,
                                         mesh=self.mesh, preprocess_fn=eval_pp)
+        self.eval_multi_step = None
+        if self.train_chunk > 1:
+            self.eval_multi_step = make_multi_eval_step(
+                self.model, self.loss_fn, mesh=self.mesh, preprocess_fn=eval_pp)
         self.epochs = epochs
         self.steps_per_epoch = steps_per_epoch
 
@@ -365,13 +370,35 @@ class RetrievalExperiment:
 
     # ------------------------------------------------------------------- eval
     def encode_split(self, split: str):
-        """Encode a split; returns ({codes_key: (N, nbit)}, labels, meters)."""
+        """Encode a split; returns ({codes_key: (N, nbit)}, labels, meters).
+
+        Full batches are scan-chunked (train_chunk batches per device
+        dispatch, make_multi_eval_step) — database extraction dominates every
+        evaluation epoch and pays the same per-dispatch latency the train
+        loop did."""
         all_codes: dict[str, list] = {}
         labels = []
         meters = MeterBank()
         bs = int(self.config.get("batch_size", 64))
-        for batch in self.loaders[split]:
-            n = batch.pop("n_valid")
+        pending: list[tuple[dict, int]] = []
+
+        def flush_chunk():
+            batches = {k: np.stack([b[k] for b, _ in pending])
+                       for k in pending[0][0]}
+            codes_k, metrics_k = self.eval_multi_step(
+                self.state, shard_batch_chunk(batches, self.mesh))
+            ns = [n for _, n in pending]
+            if metrics_k:
+                meters.update_device(metrics_k, ns)
+            for k, v in codes_k.items():
+                arr = np.asarray(v)  # (K, B, nbit)
+                for i, n in enumerate(ns):
+                    all_codes.setdefault(k, []).append(arr[i, :n])
+            for (b, n) in pending:
+                labels.append(b["label"][:n])
+            pending.clear()
+
+        def run_single(batch, n):
             if n == bs:
                 codes, metrics = self.eval_step(self.state,
                                                 shard_batch(batch, self.mesh))
@@ -391,6 +418,25 @@ class RetrievalExperiment:
             for k, v in codes.items():
                 all_codes.setdefault(k, []).append(np.asarray(v)[:n])
             labels.append(batch["label"][:n])
+
+        use_chunk = getattr(self, "eval_multi_step", None) is not None \
+            and self.train_chunk > 1
+        for batch in self.loaders[split]:
+            n = batch.pop("n_valid")
+            if use_chunk and n == bs:
+                pending.append((batch, n))
+                if len(pending) == self.train_chunk:
+                    flush_chunk()
+                continue
+            # leftovers shorter than the chunk go through the single-step
+            # path (a shorter scan would force a fresh compile per length)
+            for (b2, n2) in pending:
+                run_single(b2, n2)
+            pending.clear()
+            run_single(batch, n)
+        for (b2, n2) in pending:
+            run_single(b2, n2)
+        pending.clear()
         return ({k: np.concatenate(v) for k, v in all_codes.items()},
                 np.concatenate(labels), meters.materialize())
 

@@ -137,11 +137,8 @@ def make_multi_train_step(model, loss_fn: Callable, tx,
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_fn: Optional[Callable] = None,
-                   mesh: Optional[Mesh] = None, codes_key: str = "codes",
-                   preprocess_fn: Optional[Callable] = None):
-    """eval step: forward in inference mode, returns (codes, metrics)."""
-
+def _build_eval_fn(model, loss_fn: Optional[Callable],
+                   codes_key: str, preprocess_fn: Optional[Callable]):
     def step_fn(state: TrainState, batch: dict):
         images = batch["image"]
         if preprocess_fn is not None:
@@ -155,7 +152,33 @@ def make_eval_step(model, loss_fn: Optional[Callable] = None,
         codes = {k: v for k, v in out.items() if codes_key in k and v.ndim == 2}
         return codes, metrics
 
-    return jax.jit(step_fn)
+    return step_fn
+
+
+def make_eval_step(model, loss_fn: Optional[Callable] = None,
+                   mesh: Optional[Mesh] = None, codes_key: str = "codes",
+                   preprocess_fn: Optional[Callable] = None):
+    """eval step: forward in inference mode, returns (codes, metrics)."""
+    return jax.jit(_build_eval_fn(model, loss_fn, codes_key, preprocess_fn))
+
+
+def make_multi_eval_step(model, loss_fn: Optional[Callable] = None,
+                         mesh: Optional[Mesh] = None, codes_key: str = "codes",
+                         preprocess_fn: Optional[Callable] = None):
+    """K eval batches per device dispatch via ``lax.scan`` — the encode path
+    (database extraction dominates every evaluation epoch) pays the same
+    per-step relay dispatch the train loop did. Batches stacked (K, B, ...);
+    codes/metrics come back stacked (K, ...)."""
+    eval_fn = _build_eval_fn(model, loss_fn, codes_key, preprocess_fn)
+
+    def multi(state: TrainState, batches: dict):
+        def body(carry, batch):
+            return carry, eval_fn(carry, batch)
+
+        _, (codes, metrics) = jax.lax.scan(body, state, batches)
+        return codes, metrics
+
+    return jax.jit(multi)
 
 
 def accuracy_metrics(outputs: dict, onehot) -> dict:

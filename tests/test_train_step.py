@@ -170,6 +170,32 @@ def test_multi_step_matches_sequential(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_multi_eval_matches_sequential(rng):
+    """Scan-chunked eval (encode path) returns the same codes/metrics as
+    per-batch eval steps."""
+    from concepthash_tpu.parallel.mesh import shard_batch_chunk
+    from concepthash_tpu.train.state import make_multi_eval_step
+
+    mesh = make_mesh()
+    model, loss_fn, state, _ = build(mesh)
+    state = replicate(state, mesh)
+    eval_step = make_eval_step(model, loss_fn, mesh=mesh)
+    multi = make_multi_eval_step(model, loss_fn, mesh=mesh)
+
+    batches = [make_batch(rng) for _ in range(3)]
+    singles = [eval_step(state, shard_batch(b, mesh)) for b in batches]
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    codes_k, metrics_k = multi(state, shard_batch_chunk(stacked, mesh))
+
+    for i, (codes, metrics) in enumerate(singles):
+        for k in codes:
+            np.testing.assert_allclose(np.asarray(codes_k[k])[i],
+                                       np.asarray(codes[k]), rtol=1e-5,
+                                       atol=1e-6)
+        np.testing.assert_allclose(np.asarray(metrics_k["loss"])[i],
+                                   np.asarray(metrics["loss"]), rtol=1e-5)
+
+
 def test_meterbank_stacked_updates():
     """Stacked (K,) metrics with per-step counts average like K scalar
     updates (the scan-chunked loop path)."""
