@@ -216,6 +216,12 @@ def main():
     except Exception as e:
         print(f"chunked train bench failed: {e}", file=sys.stderr)
         trn_chunk = None
+    trn_big = None
+    if not args.smoke:
+        try:  # MXU-saturating batch (throughput-oriented config)
+            trn_big = bench_train_step(jax, jnp, 1024, tiny=False, chunk=4)
+        except Exception as e:
+            print(f"b1024 train bench failed: {e}", file=sys.stderr)
 
     result = {
         "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery",
@@ -229,6 +235,7 @@ def main():
         "encode_batch": batch,
         "train_img_per_s": round(trn_chunk, 1) if trn_chunk else None,
         "train_img_per_s_single_dispatch": round(trn, 1) if trn else None,
+        "train_img_per_s_b1024": round(trn_big, 1) if trn_big else None,
         "train_chunk": 4 if args.smoke else 16,
     }
     print(json.dumps(result))

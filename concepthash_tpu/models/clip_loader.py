@@ -187,6 +187,54 @@ def vit_params_from_torch(state_dict, num_layers: int) -> dict:
     return params
 
 
+def swin_params_from_torch(state_dict, depths) -> dict:
+    """Build the flax SwinTransformer param tree from an HF torch SwinModel
+    state_dict (microsoft/swin-* checkpoints — the weights behind the
+    reference's timm swin backbones, models/backbone/swinvit.py:7-43).
+    q/k/v are fused into the tower's single qkv Dense; HF's end-of-stage
+    downsample maps to the tower's start-of-next-stage patch merging.
+    Activation parity is tested in tests/test_clip_port.py."""
+    import numpy as np
+
+    sd = state_dict
+    params = {
+        "patch_embed": {
+            "kernel": _t(sd["embeddings.patch_embeddings.projection.weight"]
+                         ).transpose(2, 3, 1, 0),
+            "bias": _t(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "embed_norm": _ln(sd, "embeddings.norm"),
+        "norm": _ln(sd, "layernorm"),
+    }
+    for si, depth in enumerate(depths):
+        if si > 0:
+            d = f"encoder.layers.{si - 1}.downsample"
+            params[f"merge{si}_norm"] = _ln(sd, f"{d}.norm")
+            params[f"merge{si}_reduce"] = {
+                "kernel": _t(sd[f"{d}.reduction.weight"]).T}
+        for bi in range(depth):
+            b = f"encoder.layers.{si}.blocks.{bi}"
+            qkv_w = np.concatenate(
+                [_t(sd[f"{b}.attention.self.{n}.weight"]).T
+                 for n in ("query", "key", "value")], axis=1)
+            qkv_b = np.concatenate(
+                [_t(sd[f"{b}.attention.self.{n}.bias"])
+                 for n in ("query", "key", "value")])
+            params[f"stage{si}_block{bi}"] = {
+                "norm1": _ln(sd, f"{b}.layernorm_before"),
+                "norm2": _ln(sd, f"{b}.layernorm_after"),
+                "attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "proj": _dense(sd, f"{b}.attention.output.dense"),
+                    "rel_bias_table": _t(
+                        sd[f"{b}.attention.self.relative_position_bias_table"]),
+                },
+                "fc1": _dense(sd, f"{b}.intermediate.dense"),
+                "fc2": _dense(sd, f"{b}.output.dense"),
+            }
+    return params
+
+
 def merge_ported(init_params: dict, ported: dict) -> dict:
     """Overlay ported weights onto an init param tree (keeps adapter params
     and anything the checkpoint lacks, e.g. visual_projection=None)."""

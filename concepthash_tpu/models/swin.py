@@ -26,8 +26,9 @@ _VARIANTS = {
     "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
     "small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
     "base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
-    # miniature variant for CPU tests / smoke runs (not a timm geometry)
-    "test": (16, (1, 1, 1, 1), (2, 2, 2, 2)),
+    # miniature variant for CPU tests / smoke runs (not a timm geometry;
+    # depths 2,2,1,1 so shifted blocks are exercised at two resolutions)
+    "test": (16, (2, 2, 1, 1), (2, 2, 2, 2)),
 }
 
 
@@ -155,7 +156,8 @@ class _SwinBlock(nn.Module):
         y = ln("norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(y))
+        y = nn.gelu(y, approximate=False)  # erf gelu (timm/HF Swin)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return x + y
 
 

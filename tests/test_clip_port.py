@@ -204,6 +204,45 @@ def test_vit_port_activation_parity():
         theirs.last_hidden_state[:, 0].numpy(), rtol=2e-4, atol=2e-4)
 
 
+def test_swin_port_activation_parity():
+    """HF SwinModel (the weights behind the reference's timm Swin backbones,
+    models/backbone/swinvit.py:7-43) ports into the flax SwinTransformer
+    with pooled-feature parity on a random-init test geometry (windowed
+    attention + relative bias + shift masks + patch merging all exercised:
+    grids 8->4->2->1 with window 4 include shifted and whole-grid blocks)."""
+    import torch
+    from transformers import SwinConfig as HFSwinConfig
+    from transformers import SwinModel
+
+    from concepthash_tpu.models.clip_loader import (merge_ported,
+                                                    swin_params_from_torch)
+    from concepthash_tpu.models.swin import SwinConfig, SwinTransformer
+
+    # geometry chosen so every stage grid >= window (HF SwinModel CRASHES
+    # otherwise: its bias-index buffer keeps the construction window while
+    # the layer shrinks the runtime window — upstream limitation) and so
+    # shifted blocks run at two resolutions (grids 32,16,8,4; window 4)
+    hf_cfg = HFSwinConfig(image_size=64, patch_size=2, embed_dim=16,
+                          depths=[2, 2, 1, 1], num_heads=[2, 2, 2, 2],
+                          window_size=4)
+    hf = SwinModel(hf_cfg, add_pooling_layer=True).eval()
+
+    tower = SwinTransformer(SwinConfig(variant="test", image_size=64,
+                                       patch_size=2, window_size=4))
+    rng = np.random.default_rng(11)
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    init = tower.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    params = merge_ported(init, swin_params_from_torch(hf.state_dict(),
+                                                       (2, 2, 1, 1)))
+    out = tower.apply({"params": params}, jnp.asarray(imgs))
+
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out["features"]),
+                               theirs.pooler_output.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_bicubic_resize_matches_torch_exactly():
     """resize_position_embedding replays the reference's torch bicubic
     (a=-0.75, dino +0.1 scale trick — models/backbone/clip.py:70-91) to
