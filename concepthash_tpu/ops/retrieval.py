@@ -260,6 +260,50 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
     return d, idx
 
 
+def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
+                            db_block: int = 2_000_000):
+    """Serving top-k over galleries too large to materialize distances for
+    (100M+ entries on one chip).
+
+    The gallery lives in HBM as int8 signs ((N, nbit), 1 byte/bit-dim: 6.4GB
+    at N=1e8, nbit=64 — the bf16 form would not fit beside its distance
+    workspace). A ``lax.scan`` walks db blocks: each block's distances come
+    from one int8×int8 MXU matmul (int8 runs at 2× the bf16 MACs/cycle on
+    v5e), per-block approx_min_k reduces (Q, block) -> (Q, k), and the
+    running result merges via top_k over the concatenated 2k candidates —
+    so peak memory is one (Q, db_block) distance tile, never (Q, N).
+
+    N must be a multiple of db_block (pad the gallery with +1 rows and mask
+    by index if not). Returns (distances (Q, k) f32, indices (Q, k) i32).
+    """
+    Q, nbit = query_codes.shape
+    N = db_signs.shape[0]
+    assert N % db_block == 0, "pad the gallery to a db_block multiple"
+    nblocks = N // db_block
+    qi = jnp.sign(query_codes).astype(jnp.int8)
+
+    # fori_loop + dynamic_slice (NOT scan over a reshaped xs: XLA copies the
+    # scan operand into the loop — a second whole-gallery allocation that
+    # OOMs at 1e8 entries; the dynamic_slice reads HBM in place)
+    def body(bi, carry):
+        block = jax.lax.dynamic_slice(
+            db_signs, (bi * db_block, 0), (db_block, nbit))
+        sim = jax.lax.dot_general(qi, block, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        dist = 0.5 * (nbit - sim).astype(jnp.float32)
+        d, idx = jax.lax.approx_min_k(dist, k)
+        idx = idx + bi * db_block
+        cd, ci = carry
+        dd = jnp.concatenate([cd, d], axis=1)
+        ii = jnp.concatenate([ci, idx], axis=1)
+        nd, sel = jax.lax.top_k(-dd, k)
+        return -nd, jnp.take_along_axis(ii, sel, axis=1)
+
+    init = (jnp.full((Q, k), jnp.inf, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32))
+    return jax.lax.fori_loop(0, nblocks, body, init)
+
+
 # ---------------------------------------------------------------------------
 # label-pair helpers (reference utils.hashing.get_sim / log_trick)
 # ---------------------------------------------------------------------------

@@ -222,3 +222,29 @@ def test_explicit_relevance_matrix(rng):
     c = calculate_mAP(db, dbl, q, ql, R=-1, PRs=(1,),
                       rel_matrix=~label_rel)
     assert c[0] != pytest.approx(a[0], abs=1e-3)
+
+
+def test_streaming_topk_matches_exact(rng):
+    """retrieve_topk_streaming (int8 MXU blocks + running merge) finds the
+    same top-k distances as a full exact top-k; returned indices map back to
+    the returned distances."""
+    import jax.numpy as jnp
+
+    from concepthash_tpu.ops.retrieval import (retrieve_topk,
+                                               retrieve_topk_streaming)
+
+    nbit, n_db, k = 32, 4096, 10
+    db = np.sign(rng.standard_normal((n_db, nbit))).astype(np.float32)
+    db[db == 0] = 1.0
+    q = np.sign(rng.standard_normal((7, nbit))).astype(np.float32)
+
+    d_ex, _ = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k, exact=True)
+    d_st, i_st = retrieve_topk_streaming(jnp.asarray(q),
+                                         jnp.asarray(db, jnp.int8),
+                                         k=k, db_block=1024)
+    d_ex, d_st, i_st = map(np.asarray, (d_ex, d_st, i_st))
+    # same multiset of top-k distances per query (order within ties free)
+    np.testing.assert_allclose(np.sort(d_st, axis=1), np.sort(d_ex, axis=1))
+    # each returned index really has the returned distance
+    ham = 0.5 * (nbit - (q[:, None, :] * db[i_st]).sum(-1))
+    np.testing.assert_allclose(ham, d_st)
