@@ -26,7 +26,8 @@ from concepthash_tpu.ops.retrieval import retrieve_topk_streaming
 
 def main():
     n_db = int(float(os.environ.get("N_DB", 100_000_000)))
-    n_q, nbit, k = 256, 64, 100
+    n_q = int(os.environ.get("N_Q", 256))
+    nbit, k = 64, 100
     db_block = int(float(os.environ.get("DB_BLOCK", 2_000_000)))
 
     nblocks = n_db // db_block
