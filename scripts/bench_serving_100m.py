@@ -61,12 +61,30 @@ def main():
     np.asarray(jax.device_get(idx[:1, :1]))
     sec = (time.perf_counter() - t0) / iters
     qps = n_q / sec
-    print(json.dumps({
+    out = {
         "metric": f"hamming64_retrieval_qps_{n_db // 1_000_000}m_gallery",
         "value": round(qps, 1), "unit": "queries/s",
         "gallery_bytes": n_db * nbit,  # int8 sign layout
         "pair_distances_per_s": round(qps * n_db, 1),
-        "backend": jax.default_backend()}))
+        "backend": jax.default_backend()}
+
+    if os.environ.get("MEASURE_RECALL"):
+        # host-exact top-k for a query subset: does per-block approx_min_k
+        # (recall_target 0.95) compound across the merge? Distance-level
+        # recall: a streamed hit counts if its distance is <= the exact k-th
+        # (Hamming ties make index-level recall ill-posed).
+        nq_r = int(os.environ.get("RECALL_QUERIES", 16))
+        db_h = np.asarray(jax.device_get(db[:, :]))  # (N, nbit) int8
+        q_h = np.asarray(jax.device_get(q[:nq_r]))
+        # float32 matmul hits BLAS (int matmul is numpy's slow path); ±1
+        # signs times nbit<=2^23 stay exact in f32
+        sim = db_h.astype(np.float32) @ q_h.T.astype(np.float32)  # (N, nq)
+        dist_exact = 0.5 * (nbit - sim.T)  # (nq, N)
+        kth = np.partition(dist_exact, k - 1, axis=1)[:, k - 1]
+        d_s = np.asarray(jax.device_get(d[:nq_r]))
+        out["recall_at_k"] = round(
+            float((d_s <= kth[:, None]).mean()), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
