@@ -33,14 +33,25 @@ def shard_gallery(db_codes, mesh: Mesh, axis: str = "data"):
 
 
 def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
-                      exact: bool = False, axis: str = "data"):
+                      exact: bool = False, axis: str = "data",
+                      streaming_block: int = 0):
     """Returns fn(query_codes (Q, nbit) replicated, db_sharded (N, nbit))
-    -> (distances (Q, k), global indices (Q, k))."""
-    from concepthash_tpu.ops.retrieval import retrieve_topk
+    -> (distances (Q, k), global indices (Q, k)).
+
+    ``streaming_block`` > 0 switches each shard to the int8 streaming engine
+    (ops.retrieval.retrieve_topk_streaming): the gallery shard lives as int8
+    signs and is walked in blocks of that size — 100M entries/chip × ndev
+    chips on a v5e-8 = an 800M-entry gallery with the same O(Q·k·ndev) ICI
+    merge."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
 
     def local_fn(q, db_shard):
         # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block
-        d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
+        if streaming_block:
+            d, idx = retrieve_topk_streaming(q, db_shard, k=k,
+                                             db_block=streaming_block)
+        else:
+            d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
         shard = jax.lax.axis_index(axis)
         gidx = idx + shard * db_shard.shape[0]
         dd = jax.lax.all_gather(d, axis, axis=1, tiled=True)      # (Q, ndev*k)

@@ -61,3 +61,25 @@ def test_map_with_sharded_db_matches(rng, mesh):
     assert sh[0] == pytest.approx(ref[0], abs=1e-6)
     np.testing.assert_allclose(sh[1], ref[1], atol=1e-6)
     np.testing.assert_allclose(sh[2], ref[2], atol=1e-6)
+
+
+def test_sharded_streaming_topk_matches_exact(rng, mesh):
+    """Streaming int8 engine per shard (streaming_block>0) + ICI merge
+    equals single-device exact retrieval — the 8×100M-entry composition."""
+    N, Q, nbit, k = 1024, 8, 32, 10
+    db = np.sign(rng.standard_normal((N, nbit))).astype(np.float32)
+    db[db == 0] = 1.0
+    q = np.sign(rng.standard_normal((Q, nbit))).astype(np.float32)
+
+    db_sharded, n_real = shard_gallery(db.astype(np.int8), mesh)
+    assert n_real == N
+    fn = make_sharded_topk(mesh, k=k, streaming_block=32)  # 4 blocks/shard
+    d_sh, idx_sh = fn(jnp.asarray(q), db_sharded)
+
+    d_ref, _ = retrieve_topk(q, db, k=k, method="mxu", exact=True)
+    np.testing.assert_allclose(np.sort(np.asarray(d_sh), 1),
+                               np.sort(np.asarray(d_ref), 1), atol=1e-4)
+    # returned global indices really have the returned distances
+    full = 0.5 * (nbit - q @ db.T)
+    got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
+    np.testing.assert_allclose(got, np.asarray(d_sh), atol=1e-4)
