@@ -15,7 +15,7 @@ with numpy at trace time, so the whole forward is static-shape and every
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
