@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dtsh", "greedyhash",
-                             "a2net_ce", "semicon_ce"])
+                             "a2net_ce", "semicon_ce", "concepthash_sa"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
@@ -46,7 +46,8 @@ def main():
                    "dtsh": "dtsh_adapter",
                    "greedyhash": "sgh_adapter",
                    "a2net_ce": "a2net_ce_adapter",
-                   "semicon_ce": "semicon_ce_adapter"}[args.method]
+                   "semicon_ce": "semicon_ce_adapter",
+                   "concepthash_sa": "concepthash_sa"}[args.method]
 
     overrides = [
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
@@ -59,7 +60,9 @@ def main():
         "model.adapter_bottleneck_dim=8",
         f"data_dir={assets}", f"logdir={logdir}",
     ]
-    if args.method == "concepthash":
+    if args.method in ("concepthash", "concepthash_sa"):
+        if args.method == "concepthash_sa":
+            overrides += ["model.self_attn_at_last.mask_sigma=0"]
         overrides += [
             "model.text_projection_dims=[32]",
             "model.fixed_center.codebook_method=file",

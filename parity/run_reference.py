@@ -187,6 +187,16 @@ def _model_block(method: str, assets: str, clip_dir: str):
                           "multiclass": False, "gamma": 0.001,
                           "loss_method": "ce"},
         }
+    if method == "concepthash_sa":
+        # concepthash + SelfAttention-at-last (coop.py:20-177). mask_sigma=0
+        # on both sides: the Gaussian-mask branch deviates deliberately (the
+        # reference transposes the argmax center — documented in
+        # models/concepthash.py SelfAttentionAtLast).
+        block = _model_block("concepthash", assets, clip_dir)
+        block["model"]["self_attn_at_last"] = {
+            "_target_": "models.arch.coop.SelfAttention",
+            "params": True, "dim": 64, "mask_sigma": 0, "ncontext": 4}
+        return block
     if method == "concepthash":
         # configs/model/concept_hash_final_v1_nosa_apt.yaml (language center
         # -> shared continuous center file; text_projection MLP widths scaled
@@ -261,7 +271,7 @@ def main():
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dtsh", "greedyhash",
-                             "a2net_ce", "semicon_ce"])
+                             "a2net_ce", "semicon_ce", "concepthash_sa"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
