@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Build the manifest files the framework trains from out of the standard
+dataset distributions — a script-ified port of the reference's per-dataset
+Jupyter recipes (data/*/dataset_preparation.ipynb; the reference ships the
+finished manifests, the notebooks document how they were made).
+
+    python scripts/prepare_dataset.py cub200   <data_root>/data/cub200_2011
+    python scripts/prepare_dataset.py cars196  <data_root>/data/cars196
+    python scripts/prepare_dataset.py aircraft <data_root>/data/aircraft
+
+Writes <out>/{train,test,database}.txt (one "<path> <int-label>" per line,
+paths relative to the data root, train == database) and class_names.txt.
+Expected layouts:
+
+  cub200:   <out>/CUB_200_2011/{images/, images.txt, image_class_labels.txt,
+            train_test_split.txt, classes.txt}   (CUB-200-2011 tarball)
+  cars196:  <out>/stanford_cars/{cars_train/, cars_test/,
+            devkit/cars_train_annos.mat, devkit/cars_meta.mat,
+            cars_test_annos_withlabels.mat}      (Stanford Cars)
+  aircraft: <out>/fgvc-aircraft-2013b/data/{images/, variants.txt,
+            images_variant_trainval.txt, images_variant_test.txt}
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _write(path: str, lines) -> None:
+    with open(path, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    print(f"{path}: {len(lines)} lines")
+
+
+def prepare_cub200(out: str, prefix: str) -> None:
+    """CUB_200_2011/dataset_preparation.ipynb: split_id 1 -> train+database,
+    0 -> test; labels are class_id-1; class names from classes.txt with the
+    '001.' prefix stripped and underscores spaced."""
+    root = os.path.join(out, "CUB_200_2011")
+
+    def pairs(fn):
+        with open(os.path.join(root, fn)) as f:
+            return [line.strip().split(" ", 1) for line in f if line.strip()]
+
+    id2key = dict(pairs("images.txt"))
+    id2class = dict(pairs("image_class_labels.txt"))
+    id2split = {k: int(v) for k, v in pairs("train_test_split.txt")}
+
+    train, test = [], []
+    for fn_id, key in sorted(id2key.items(), key=lambda kv: kv[1]):
+        label = int(id2class[fn_id]) - 1
+        row = f"{prefix}/CUB_200_2011/images/{key} {label}"
+        (train if id2split[fn_id] == 1 else test).append(row)
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), test)
+
+    names = [kv[1].split(".", 1)[1].replace("_", " ").lower()
+             for kv in pairs("classes.txt")]
+    _write(os.path.join(out, "class_names.txt"), names)
+
+
+def prepare_cars196(out: str, prefix: str) -> None:
+    """cars196/dataset_preparation.ipynb: labels from the devkit .mat
+    annotations (class-1), names from cars_meta.mat."""
+    import scipy.io as sio
+
+    sc = os.path.join(out, "stanford_cars")
+    train_mat = sio.loadmat(os.path.join(sc, "devkit", "cars_train_annos.mat"),
+                            squeeze_me=True)
+    test_mat = sio.loadmat(os.path.join(sc, "cars_test_annos_withlabels.mat"),
+                           squeeze_me=True)
+
+    def rows(mat, sub):
+        import numpy as np
+
+        anns = np.atleast_1d(mat["annotations"])  # squeeze_me 0-d for n=1
+        return [f"{prefix}/stanford_cars/{sub}/{a['fname']} "
+                f"{int(a['class']) - 1}" for a in anns]
+
+    train = rows(train_mat, "cars_train")
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), rows(test_mat, "cars_test"))
+
+    meta = sio.loadmat(os.path.join(sc, "devkit", "cars_meta.mat"),
+                       squeeze_me=True)
+    _write(os.path.join(out, "class_names.txt"),
+           [str(c) for c in meta["class_names"].tolist()])
+
+
+def prepare_aircraft(out: str, prefix: str) -> None:
+    """aircraft/dataset_preparation.ipynb: variants.txt order defines the
+    label ids; trainval -> train+database, test -> test."""
+    data = os.path.join(out, "fgvc-aircraft-2013b", "data")
+    with open(os.path.join(data, "variants.txt")) as f:
+        variants = [line.strip() for line in f if line.strip()]
+    c2i = {c: i for i, c in enumerate(variants)}
+
+    def rows(fn):
+        res = []
+        with open(os.path.join(data, fn)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                img_id, variant = line.split(" ", 1)
+                res.append(f"{prefix}/fgvc-aircraft-2013b/data/images/"
+                           f"{img_id}.jpg {c2i[variant]}")
+        return res
+
+    train = rows("images_variant_trainval.txt")
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), rows("images_variant_test.txt"))
+    _write(os.path.join(out, "class_names.txt"),
+           [v.lower() for v in variants])
+
+
+PREPARERS = {"cub200": prepare_cub200, "cars196": prepare_cars196,
+             "aircraft": prepare_aircraft}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=sorted(PREPARERS))
+    ap.add_argument("out", help="dataset folder (e.g. data/cub200_2011)")
+    ap.add_argument("--prefix", default=None,
+                    help="path prefix written into manifests (default: "
+                    "data/<folder-name>, matching the reference layout)")
+    args = ap.parse_args()
+    prefix = args.prefix or f"data/{os.path.basename(os.path.normpath(args.out))}"
+    PREPARERS[args.dataset](args.out, prefix)
+
+
+if __name__ == "__main__":
+    main()

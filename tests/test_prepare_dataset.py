@@ -1,0 +1,112 @@
+"""scripts/prepare_dataset.py: manifest builders reproduce the reference's
+notebook recipes (data/*/dataset_preparation.ipynb) — line format matches the
+shipped manifests, splits honored, labels 0-based, train == database."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "prepare_dataset", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "prepare_dataset.py"))
+prep = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(prep)
+
+
+def _read(path):
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def test_cub200_manifests(tmp_path):
+    root = tmp_path / "cub200_2011" / "CUB_200_2011"
+    root.mkdir(parents=True)
+    (root / "images.txt").write_text(
+        "1 001.Black_footed_Albatross/a.jpg\n"
+        "2 001.Black_footed_Albatross/b.jpg\n"
+        "3 002.Laysan_Albatross/c.jpg\n")
+    (root / "image_class_labels.txt").write_text("1 1\n2 1\n3 2\n")
+    (root / "train_test_split.txt").write_text("1 1\n2 0\n3 1\n")
+    (root / "classes.txt").write_text(
+        "1 001.Black_footed_Albatross\n2 002.Laysan_Albatross\n")
+
+    out = str(tmp_path / "cub200_2011")
+    prep.prepare_cub200(out, "data/cub200_2011")
+
+    train = _read(os.path.join(out, "train.txt"))
+    assert train == [
+        "data/cub200_2011/CUB_200_2011/images/"
+        "001.Black_footed_Albatross/a.jpg 0",
+        "data/cub200_2011/CUB_200_2011/images/002.Laysan_Albatross/c.jpg 1"]
+    assert _read(os.path.join(out, "database.txt")) == train
+    assert _read(os.path.join(out, "test.txt")) == [
+        "data/cub200_2011/CUB_200_2011/images/"
+        "001.Black_footed_Albatross/b.jpg 0"]
+    assert _read(os.path.join(out, "class_names.txt")) == [
+        "black footed albatross", "laysan albatross"]
+
+
+def test_cars196_manifests(tmp_path):
+    sio = pytest.importorskip("scipy.io")
+    sc = tmp_path / "cars196" / "stanford_cars"
+    (sc / "devkit").mkdir(parents=True)
+    ann = np.array([("00001.jpg", 14), ("00002.jpg", 3)],
+                   dtype=[("fname", "O"), ("class", "O")])
+    sio.savemat(str(sc / "devkit" / "cars_train_annos.mat"),
+                {"annotations": ann})
+    ann_t = np.array([("10001.jpg", 1)],
+                     dtype=[("fname", "O"), ("class", "O")])
+    sio.savemat(str(sc / "cars_test_annos_withlabels.mat"),
+                {"annotations": ann_t})
+    sio.savemat(str(sc / "devkit" / "cars_meta.mat"),
+                {"class_names": np.array(["AM Hornet", "Acura RL"], "O")})
+
+    out = str(tmp_path / "cars196")
+    prep.prepare_cars196(out, "data/cars196")
+    assert _read(os.path.join(out, "train.txt")) == [
+        "data/cars196/stanford_cars/cars_train/00001.jpg 13",
+        "data/cars196/stanford_cars/cars_train/00002.jpg 2"]
+    assert _read(os.path.join(out, "test.txt")) == [
+        "data/cars196/stanford_cars/cars_test/10001.jpg 0"]
+    assert _read(os.path.join(out, "class_names.txt")) == [
+        "AM Hornet", "Acura RL"]
+
+
+def test_aircraft_manifests(tmp_path):
+    data = tmp_path / "aircraft" / "fgvc-aircraft-2013b" / "data"
+    data.mkdir(parents=True)
+    (data / "variants.txt").write_text("707-320\nA300B4\n")
+    (data / "images_variant_trainval.txt").write_text(
+        "1025794 707-320\n1340192 A300B4\n")
+    (data / "images_variant_test.txt").write_text("200001 A300B4\n")
+
+    out = str(tmp_path / "aircraft")
+    prep.prepare_aircraft(out, "data/aircraft")
+    train = _read(os.path.join(out, "train.txt"))
+    assert train == [
+        "data/aircraft/fgvc-aircraft-2013b/data/images/1025794.jpg 0",
+        "data/aircraft/fgvc-aircraft-2013b/data/images/1340192.jpg 1"]
+    assert _read(os.path.join(out, "database.txt")) == train
+    assert _read(os.path.join(out, "test.txt")) == [
+        "data/aircraft/fgvc-aircraft-2013b/data/images/200001.jpg 1"]
+    assert _read(os.path.join(out, "class_names.txt")) == ["707-320",
+                                                           "a300b4"]
+
+
+def test_manifests_parse_via_framework(tmp_path):
+    """The produced files load through data.manifest.read_manifest."""
+    from concepthash_tpu.data.manifest import read_manifest
+
+    root = tmp_path / "cub200_2011" / "CUB_200_2011"
+    root.mkdir(parents=True)
+    (root / "images.txt").write_text("1 001.A/a.jpg\n2 002.B/b.jpg\n")
+    (root / "image_class_labels.txt").write_text("1 1\n2 2\n")
+    (root / "train_test_split.txt").write_text("1 1\n2 1\n")
+    (root / "classes.txt").write_text("1 001.A\n2 002.B\n")
+    out = str(tmp_path / "cub200_2011")
+    prep.prepare_cub200(out, "data/cub200_2011")
+    m = read_manifest(out, "train.txt")
+    assert len(m.paths) == 2
+    np.testing.assert_array_equal(m.labels, [0, 1])
