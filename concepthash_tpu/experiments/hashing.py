@@ -356,8 +356,10 @@ class RetrievalExperiment:
             self.profiler.step_end()
             meters.update_device(metrics, n)
         for batch, n in pending:  # tail < chunk: single-step path
+            self.profiler.step_start()
             self.state, metrics = self.train_step(self.state,
                                                   shard_batch(batch, self.mesh))
+            self.profiler.step_end()
             meters.update_device(metrics, n)
         pending.clear()
         res = meters.materialize()

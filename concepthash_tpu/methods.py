@@ -542,7 +542,8 @@ def _odc_step(model, config, tx, preprocess_fn, total_steps):
                                        mutable=["batch_stats"])
             ce = optax.softmax_cross_entropy(
                 out["logits"].astype(jnp.float32), y)
-            loss = (ce * w).mean()
+            # torch weighted CE: sum(w_i * ce_i) / sum(w_i) over the batch
+            loss = (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
             return loss, (mutated.get("batch_stats", state.batch_stats), out)
 
         (loss, (new_bs, out)), grads = jax.value_and_grad(
@@ -570,14 +571,19 @@ def _odc_step(model, config, tx, preprocess_fn, total_steps):
             # empty clusters keep their old centroid (the reference's
             # mean-of-empty is NaN — latent upstream bug, odc.py:40-43)
             new_c = jnp.where(counts[:, None] > 0, new_c, cents)
+            # w_c ∝ N_c^-0.5 normalized to SUM 1 over classes — upstream
+            # set_reweight semantics (trainers/odc.py:119); the per-batch
+            # torch weighted-CE divide-by-selected-weight-sum happens in
+            # `compute` above.
             rw = jnp.where(counts > 0, 1.0 / jnp.sqrt(jnp.maximum(counts, 1.0)),
                            0.0)
-            rw = rw / jnp.maximum(rw.sum() / jnp.maximum((counts > 0).sum(), 1),
-                                  1e-12)
+            rw = rw / jnp.maximum(rw.sum(), 1e-12)
             return new_c, rw
 
+        # reference fires at global_step % update_interval == 0 — i.e. on the
+        # very first batch after k-means init (trainers/odc.py:162)
         centroids, weights = jax.lax.cond(
-            (state.step + 1) % interval == 0, refresh,
+            state.step % interval == 0, refresh,
             lambda _: (cents, state.extra["weights"]), None)
 
         new_state = state.replace(

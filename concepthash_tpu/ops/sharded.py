@@ -15,13 +15,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def shard_gallery(db_codes, mesh: Mesh, axis: str = "data"):
-    """Place (N, nbit) codes sharded over ``axis`` (pads N to the axis size)."""
+def shard_gallery(db_codes, mesh: Mesh, axis: str = "data",
+                  streaming_block: int = 0):
+    """Place (N, nbit) codes sharded over ``axis`` (pads N to the axis size).
+
+    When the shards will be consumed by ``make_sharded_topk(...,
+    streaming_block=B)``, pass the same ``B`` here: the streaming engine
+    walks each shard in blocks of B rows and requires shard_size % B == 0,
+    so N is padded up to a multiple of (axis_size * B)."""
     import numpy as np
 
     n = db_codes.shape[0]
     size = mesh.shape[axis]
-    pad = (-n) % size
+    multiple = size * streaming_block if streaming_block else size
+    pad = (-n) % multiple
     if pad:
         # padded rows get all-zero codes at +inf-like distance handled by
         # callers via the returned n
@@ -42,7 +49,16 @@ def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
     (ops.retrieval.retrieve_topk_streaming): the gallery shard lives as int8
     signs and is walked in blocks of that size — 100M entries/chip × ndev
     chips on a v5e-8 = an 800M-entry gallery with the same O(Q·k·ndev) ICI
-    merge."""
+    merge. NOTE the streaming path is APPROXIMATE regardless of ``exact``
+    (per-block approx_min_k at recall_target 0.95; measured distance-level
+    recall@100 0.9994 at 10M, PARITY.md) — ``exact=True`` only affects the
+    non-streaming path. Shards must satisfy shard_size % streaming_block
+    == 0: build them with shard_gallery(..., streaming_block=...)."""
+    if streaming_block and exact:
+        raise ValueError(
+            "exact=True is not available on the streaming path: "
+            "retrieve_topk_streaming is per-block approx_min_k by design "
+            "(use streaming_block=0 for exact top-k)")
     from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
 
     def local_fn(q, db_shard):

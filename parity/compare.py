@@ -110,12 +110,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--no-run", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="start RESULTS.json from scratch instead of merging "
+                         "into entries from possibly-older protocol versions")
     ap.add_argument("--methods", nargs="*", default=METHODS)
     args = ap.parse_args()
 
     out = os.path.join(HERE, "RESULTS.json")
     results = {}
-    if os.path.exists(out):  # merge partial runs into the existing record
+    if os.path.exists(out) and not args.fresh:
+        # merge partial runs into the existing record; per-entry "stamp"
+        # fields mark which protocol/epochs each row was produced under
         with open(out) as f:
             results = json.load(f)
     for m in args.methods:
@@ -136,6 +141,7 @@ def main():
                 "R@10_final": test[-1]["recalls"][-1],
             }
         row["mAP_gap"] = row["rebuild"]["best_mAP"] - row["reference"]["best_mAP"]
+        row["stamp"] = {"epochs": args.epochs, "protocol": "compare-v2"}
         results[m] = row
         print(json.dumps({m: row}, indent=2), flush=True)
 

@@ -110,11 +110,17 @@ def test_odc_online_memory_updates(rng):
     f1 = np.asarray(state1.extra["features"])
     assert not np.allclose(f1[:8], feats[:8])
     np.testing.assert_array_equal(f1[8:], feats[8:])
-    # step 1: (0+1) % 2 != 0 -> no centroid refresh yet
-    np.testing.assert_array_equal(np.asarray(state1.extra["centroids"]), cents)
+    # step at state.step=0: 0 % 2 == 0 -> refresh fires on the very first
+    # batch after k-means init (reference trainers/odc.py:162 global_step
+    # semantics); centroids move toward the updated memory
+    c1 = np.asarray(state1.extra["centroids"])
+    assert not np.allclose(c1, cents)
+    # refresh renormalizes the class weights to sum 1 (set_reweight)
+    np.testing.assert_allclose(
+        float(np.asarray(state1.extra["weights"]).sum()), 1.0, atol=1e-5)
     state2, _ = step(state1, batch)
-    # step 2: refresh fires; centroids move toward the updated memory
-    assert not np.allclose(np.asarray(state2.extra["centroids"]), cents)
+    # step at state.step=1: 1 % 2 != 0 -> no refresh this step
+    np.testing.assert_array_equal(np.asarray(state2.extra["centroids"]), c1)
     # reassigned labels stay in range
     l2 = np.asarray(state2.extra["labels"])
     assert l2.min() >= 0 and l2.max() < nclass

@@ -71,9 +71,14 @@ def test_sharded_streaming_topk_matches_exact(rng, mesh):
     db[db == 0] = 1.0
     q = np.sign(rng.standard_normal((Q, nbit))).astype(np.float32)
 
-    db_sharded, n_real = shard_gallery(db.astype(np.int8), mesh)
+    db_sharded, n_real = shard_gallery(db.astype(np.int8), mesh,
+                                       streaming_block=32)
     assert n_real == N
     fn = make_sharded_topk(mesh, k=k, streaming_block=32)  # 4 blocks/shard
+    # exact=True is a contract violation on the approximate streaming path
+    import pytest
+    with pytest.raises(ValueError):
+        make_sharded_topk(mesh, k=k, streaming_block=32, exact=True)
     d_sh, idx_sh = fn(jnp.asarray(q), db_sharded)
 
     d_ref, _ = retrieve_topk(q, db, k=k, method="mxu", exact=True)
