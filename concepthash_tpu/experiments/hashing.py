@@ -88,6 +88,8 @@ class RetrievalExperiment:
         self.start_epoch = 0
         if config.get("resume_logdir"):
             self.resume_training(config["resume_logdir"])
+        elif config.get("finetune_path"):
+            self.finetune_init(config["finetune_path"])
 
     # ------------------------------------------------------------------ data
     def _load_data(self):
@@ -458,6 +460,24 @@ class RetrievalExperiment:
             res["mAP" + postfix] = mAP
             res["recalls" + postfix] = recalls
             res["precisions" + postfix] = precisions
+        # pseudo-label quality for cluster-based methods (reference
+        # train_helper.py:243-251): nearest-centroid assignment of the
+        # L2-normalized codes (the same rule _odc_step reassigns with)
+        # scored by NMI against ground truth, per split.
+        extra = getattr(self.state, "extra", None) or {}
+        if self.method.regime == "odc" and "centroids" in extra:
+            from concepthash_tpu.ops.retrieval import normalized_mutual_info
+
+            cents = np.asarray(jax.device_get(extra["centroids"]))
+            for name, codes, labels in (("test", test_codes, test_labels),
+                                        ("db", db_codes, db_labels)):
+                c = np.asarray(codes["codes"], np.float32)
+                c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                                1e-12)
+                pseudo = ((c[:, None] - cents[None]) ** 2).sum(-1).argmin(1)
+                gt = labels.argmax(1) if labels.ndim > 1 else labels
+                res[f"{name}_nmi"] = normalized_mutual_info(gt, pseudo)
+                logging.info("%s NMI: %.4f", name, res[f"{name}_nmi"])
         logging.info("ep %d eval: mAP=%s", ep, res.get("mAP"))
         return res, (test_codes, test_labels, db_codes, db_labels)
 
@@ -485,6 +505,36 @@ class RetrievalExperiment:
             constants=_restore_like(s.constants, blob.get("constants", {})))
         self.state = replicate(self.state, self.mesh)
         return int(blob.get("epoch", 0))
+
+    def finetune_init(self, path: str):
+        """Initialize model weights from another run before training —
+        fresh optimizer/step/history (reference train_helper.py:89-91
+        ``trainer.finetune_setup(config.finetune_path)`` +
+        configs/train.yaml:43). Accepts a checkpoint file or a run dir
+        (best.msgpack preferred, then last.msgpack). Leaves with mismatched
+        shapes (e.g. a head re-targeted to a new nclass, finetune_reset
+        semantics) keep their fresh init."""
+        if os.path.isdir(path):
+            for name in ("best.msgpack", "last.msgpack"):
+                cand = os.path.join(path, "models", name)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"finetune_path: no checkpoint at {path}")
+        blob = io.load_checkpoint(path)
+        s = jax.device_get(self.state)
+        params, n_ok, n_skip = _restore_partial(s.params, blob["params"])
+        bs, ok2, skip2 = _restore_partial(s.batch_stats,
+                                          blob.get("batch_stats", {}))
+        cs, ok3, skip3 = _restore_partial(s.constants,
+                                          blob.get("constants", {}))
+        self.state = self.state.replace(params=params, batch_stats=bs,
+                                        constants=cs)
+        self.state = replicate(self.state, self.mesh)
+        logging.info("finetune: loaded %d tensors from %s (%d kept fresh "
+                     "init); optimizer state starts fresh",
+                     n_ok + ok2 + ok3, path, n_skip + skip2 + skip3)
 
     def resume_training(self, resume_logdir: str):
         last = os.path.join(resume_logdir, "models", "last.msgpack")
@@ -811,6 +861,34 @@ def _jsonable(x):
     from concepthash_tpu.utils.logger import _to_jsonable
 
     return _to_jsonable(x)
+
+
+def _restore_partial(template, data, _stats=None):
+    """Lenient restore for finetune init: leaves whose key is missing or
+    whose element count differs keep the template's fresh value (mirrors
+    reference finetune_reset, models/arch/base.py:61 — a new-nclass head is
+    re-initialized while everything else loads). Returns (tree, n_loaded,
+    n_skipped)."""
+    stats = _stats if _stats is not None else [0, 0]
+    if isinstance(template, dict):
+        out = {}
+        for k in template:
+            if isinstance(data, dict) and k in data:
+                out[k] = _restore_partial(template[k], data[k], stats)[0]
+            else:
+                out[k] = template[k]
+                stats[1] += 1
+        return out, stats[0], stats[1]
+    if hasattr(template, "shape"):
+        arr = None if data is None else np.asarray(data)
+        if arr is not None and arr.size == np.size(template):
+            stats[0] += 1
+            return (jnp.asarray(arr.reshape(np.shape(template)),
+                                dtype=jnp.asarray(template).dtype),
+                    stats[0], stats[1])
+        stats[1] += 1
+        return template, stats[0], stats[1]
+    return template if data is None else data, stats[0], stats[1]
 
 
 def _restore_like(template, data):

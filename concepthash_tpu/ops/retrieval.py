@@ -323,3 +323,35 @@ def get_sim(y1, y2, onehot: bool = True):
 def log_trick(x):
     """Numerically stable log(1 + exp(x)) (reference models/loss/hashnet.py:80)."""
     return jax.nn.relu(x) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def normalized_mutual_info(a, b) -> float:
+    """NMI between two integer label assignments, arithmetic-mean normalized
+    (sklearn normalized_mutual_info_score defaults — the reference evaluates
+    pseudo-label quality with it, experiments/train_helper.py:243-251).
+
+    Explicit contingency-table implementation (NumPy, host-side: this runs
+    once per eval on O(N) ints — not worth a device round-trip)."""
+    import numpy as np
+
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    assert a.shape == b.shape
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    na, nb = ai.max() + 1, bi.max() + 1
+    if na == nb == 1:
+        return 1.0  # both trivial single-cluster partitions (sklearn :1053)
+    cont = np.zeros((na, nb), np.float64)
+    np.add.at(cont, (ai, bi), 1.0)
+    n = cont.sum()
+    pij = cont / n
+    pa = pij.sum(1, keepdims=True)
+    pb = pij.sum(0, keepdims=True)
+    nz = pij > 0
+    mi = float((pij[nz] * np.log(pij[nz] / (pa @ pb)[nz])).sum())
+    if mi <= 1e-15:
+        return 0.0
+    ha = -float((pa[pa > 0] * np.log(pa[pa > 0])).sum())
+    hb = -float((pb[pb > 0] * np.log(pb[pb > 0])).sum())
+    return mi / max((ha + hb) / 2.0, 1e-15)

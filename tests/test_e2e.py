@@ -107,3 +107,31 @@ def test_resume(trained_run, workdir):
         hist = json.load(f)
     # resumed at epoch 2, trained 1 more (epochs=3)
     assert hist[-1]["ep"] == 2
+
+
+def test_finetune_path_chains_runs(trained_run, workdir):
+    """finetune_path initializes run 2's model from run 1's best checkpoint
+    with a FRESH optimizer and history (reference train_helper.py:89-91)."""
+    logdir, _ = trained_run
+    logdir2 = os.path.join(workdir, "run1_finetuned")
+    run_main([
+        "dataset=synthetic", "model=concepthash", "backbone=tiny_test",
+        "optim=sgd", "model.nbit=16", "model.text_projection_dims=[32]",
+        "batch_size=8", "epochs=1", "eval_interval=1",
+        f"data_dir={workdir}", f"logdir={logdir2}", "seed=11",
+        f"finetune_path={logdir}", "scheduler.warmup_epochs=1",
+    ])
+    with open(os.path.join(logdir2, "train_history.json")) as f:
+        hist = json.load(f)
+    # fresh history: starts at epoch 0 (unlike resume)
+    assert [h["ep"] for h in hist] == [0]
+    # weights really came from run 1's best checkpoint
+    import re
+
+    with open(os.path.join(logdir2, "log.txt")) as f:
+        log = f.read()
+    m = re.search(r"finetune: loaded (\d+) tensors from (\S+) \((\d+) kept",
+                  log)
+    assert m, "finetune log line missing"
+    assert int(m.group(1)) > 0 and int(m.group(3)) == 0
+    assert m.group(2).endswith(os.path.join("models", "best.msgpack"))

@@ -248,3 +248,30 @@ def test_streaming_topk_matches_exact(rng):
     # each returned index really has the returned distance
     ham = 0.5 * (nbit - (q[:, None, :] * db[i_st]).sum(-1))
     np.testing.assert_allclose(ham, d_st)
+
+
+def test_nmi_matches_sklearn(rng):
+    """normalized_mutual_info vs sklearn's normalized_mutual_info_score
+    (arithmetic-mean normalization, the reference's pseudo-label metric —
+    train_helper.py:243-251)."""
+    from sklearn.metrics import normalized_mutual_info_score
+
+    from concepthash_tpu.ops.retrieval import normalized_mutual_info
+
+    for trial in range(5):
+        n = int(rng.integers(20, 200))
+        a = rng.integers(0, int(rng.integers(2, 8)), n)
+        b = rng.integers(0, int(rng.integers(2, 8)), n)
+        np.testing.assert_allclose(normalized_mutual_info(a, b),
+                                   normalized_mutual_info_score(a, b),
+                                   atol=1e-10)
+    # identical partitions -> 1; independent-ish relabeling invariance
+    a = rng.integers(0, 5, 100)
+    np.testing.assert_allclose(normalized_mutual_info(a, a), 1.0, atol=1e-12)
+    np.testing.assert_allclose(normalized_mutual_info(a, 4 - a), 1.0,
+                               atol=1e-12)
+    # degenerate single-cluster cases follow sklearn's conventions
+    z = np.zeros(50, int)
+    assert normalized_mutual_info(z, z) == normalized_mutual_info_score(z, z)
+    assert normalized_mutual_info(z, a[:50]) == \
+        normalized_mutual_info_score(z, a[:50])
