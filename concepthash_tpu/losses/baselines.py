@@ -31,8 +31,14 @@ def orthohash_loss(outputs, onehot, ce: float = 1.0, s: float = 8.0,
                    m: float = 0.2, m_type: str = "cos", quan: float = 0.0,
                    quan_type: str = "cs", multiclass: bool = False,
                    multiclass_loss: str = "label_smoothing",
-                   codebook=None, **_):
+                   codebook=None, bcs_scale: float = 0.0, **_):
     logits, codes = outputs["logits"], outputs["codes"]
+    if bcs_scale and "logits2" in outputs:
+        # OrthoHashWithBCS blend: the sign-centroid logits head joins the
+        # margin CE at bcs_scale (the upstream BCS trainer computes logits_2
+        # but its shipped criterion ignores it, trainers/orthohash.py:446-459
+        # — scale 0 reproduces that; >0 makes the head trainable)
+        logits = (logits + bcs_scale * outputs["logits2"]) / (1.0 + bcs_scale)
     if multiclass:
         ml = (margin_logits(logits, onehot, m, s) if m_type == "cos"
               else arc_margin_logits(logits, onehot, m, s))

@@ -134,7 +134,8 @@ def _build_baseline(head, config, codebook, **kw):
     bcfg = BaselineConfig(nbit=int(m["nbit"]), nclass=int(m["nclass"]),
                           head=head, add_bn=bool(m.get("add_bn", True)),
                           ce_cossim=m.get("m_type", "ce") != "ce",
-                          latent_dim=int(m.get("latent_dim", 128)))
+                          latent_dim=int(m.get("latent_dim", 128)),
+                          bcs=bool(m.get("bcs", False)))
     cb = jnp.asarray(codebook) if codebook is not None else None
     return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb,
                            backbone_cfg=config.get("backbone"),
@@ -185,6 +186,18 @@ register_method(Method(
                                   or {}).get("attn_div_loss", 0) != 0))
 register_method(Method(
     "orthohash", functools.partial(_build_baseline, "orthohash"),
+    _simple_loss(L.orthohash_loss), codebook="signed"))
+
+
+def _build_orthohash_bcs(config, codebook, **kw):
+    """OrthoHashWithBCS (reference models/arch/orthohash.py:57-63): the
+    orthohash net with a second sign-centroid logits head (model.bcs)."""
+    config = {**config, "model": {**dict(config["model"]), "bcs": True}}
+    return _build_baseline("orthohash", config, codebook, **kw)
+
+
+register_method(Method(
+    "orthohash_bcs", _build_orthohash_bcs,
     _simple_loss(L.orthohash_loss), codebook="signed"))
 register_method(Method(
     "csq", functools.partial(_build_baseline, "csq"),

@@ -33,6 +33,8 @@ class BaselineConfig:
     hash_bias: bool = False   # pairwise/ce heads use a biased hash_fc
     ce_cossim: bool = False   # ce head: cosine classifier instead of linear
     latent_dim: int = 128     # nsh head: continuous latent width
+    bcs: bool = False         # orthohash: extra sign-centroid logits head
+                              # (OrthoHashWithBCS, arch/orthohash.py:57-63)
 
 
 class BaselineHashNet(nn.Module):
@@ -102,9 +104,18 @@ class BaselineHashNet(nn.Module):
         out["codes"] = codes
 
         if head == "orthohash":
-            out["logits"] = CosSim(c.nbit, c.nclass, codebook=self.codebook,
-                                   learn_cent=self.codebook is None,
-                                   dtype=self.dtype, name="ce_fc")(codes)
+            ce_fc = CosSim(c.nbit, c.nclass, codebook=self.codebook,
+                           learn_cent=self.codebook is None,
+                           dtype=self.dtype, name="ce_fc")
+            out["logits"] = ce_fc(codes)
+            if c.bcs:
+                # OrthoHashWithBCS (reference models/arch/orthohash.py:57-63):
+                # a second logits head against SIGN-quantized centroids,
+                # sharing the ce_fc centroids. Upstream's BCS trainer computes
+                # it but feeds only the continuous logits to the criterion
+                # (trainers/orthohash.py:446-459) — kept available here for
+                # loss blending via criterion.bcs_scale.
+                out["logits2"] = ce_fc(codes, sign_centroids=True)
         elif head == "ce":
             if c.ce_cossim:
                 out["logits"] = CosSim(c.nbit, c.nclass, dtype=self.dtype,

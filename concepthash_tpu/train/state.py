@@ -195,6 +195,7 @@ def accuracy_metrics(outputs: dict, onehot) -> dict:
             pred = val.argmax(axis=-1)
         else:
             continue
-        name = "acc" if key == "logits" else f"acc_{key.split('_', 1)[1]}"
+        suffix = key.split("_", 1)[1] if "_" in key else key[len("logits"):]
+        name = "acc" if key == "logits" else f"acc_{suffix}"
         metrics[name] = (pred == y).mean()
     return metrics

@@ -7,6 +7,9 @@ finished manifests, the notebooks document how they were made).
     python scripts/prepare_dataset.py cub200   <data_root>/data/cub200_2011
     python scripts/prepare_dataset.py cars196  <data_root>/data/cars196
     python scripts/prepare_dataset.py aircraft <data_root>/data/aircraft
+    python scripts/prepare_dataset.py food101  <data_root>/data/food101
+    python scripts/prepare_dataset.py nabirds  <data_root>/data/nabirds
+    python scripts/prepare_dataset.py vegfru   <data_root>/data/vegfru
 
 Writes <out>/{train,test,database}.txt (one "<path> <int-label>" per line,
 paths relative to the data root, train == database) and class_names.txt.
@@ -19,6 +22,12 @@ Expected layouts:
             cars_test_annos_withlabels.mat}      (Stanford Cars)
   aircraft: <out>/fgvc-aircraft-2013b/data/{images/, variants.txt,
             images_variant_trainval.txt, images_variant_test.txt}
+  food101:  <out>/food-101/{images/, meta/{classes.txt,train.json,test.json}}
+  nabirds:  <out>/nabirds/{images/, classes.txt, images.txt,
+            image_class_labels.txt, train_test_split.txt}
+  vegfru:   <out>/{veg200_images/, fru92_images/,
+            veg200_lists/veg_{train,val,test}.txt,
+            fru92_lists/fru_{train,val,test}.txt}
 """
 
 from __future__ import annotations
@@ -119,8 +128,110 @@ def prepare_aircraft(out: str, prefix: str) -> None:
            [v.lower() for v in variants])
 
 
+def prepare_food101(out: str, prefix: str) -> None:
+    """food101/dataset_preparation.ipynb: meta/{train,test}.json class->files
+    maps define the splits; label = line index in meta/classes.txt; class
+    names lower-cased with underscores spaced; train == database."""
+    import json
+
+    meta = os.path.join(out, "food-101", "meta")
+    with open(os.path.join(meta, "classes.txt")) as f:
+        classes = [line.strip() for line in f if line.strip()]
+    c2i = {c: i for i, c in enumerate(classes)}
+
+    def rows(fn):
+        with open(os.path.join(meta, fn)) as f:
+            split = json.load(f)
+        res = []
+        for cls_name, files in split.items():  # json file order, as the
+            for filename in files:             # notebook iterates
+                res.append(f"{prefix}/food-101/images/{filename}.jpg "
+                           f"{c2i[cls_name]}")
+        return res
+
+    train = rows("train.json")
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), rows("test.json"))
+    _write(os.path.join(out, "class_names.txt"),
+           [" ".join(c.lower().split("_")) for c in classes])
+
+
+def prepare_nabirds(out: str, prefix: str) -> None:
+    """nabirds/data_preparation.ipynb: the 555 class ids that actually appear
+    in image_class_labels.txt are re-indexed densely in order of first
+    appearance; split from train_test_split.txt; names from classes.txt in
+    that appearance order."""
+    root = os.path.join(out, "nabirds")
+
+    def pairs(fn):
+        with open(os.path.join(root, fn)) as f:
+            return [line.strip().split(" ", 1) for line in f if line.strip()]
+
+    classid2name = dict(pairs("classes.txt"))
+    uuid2path = {u: f"{prefix}/nabirds/images/{fn}"
+                 for u, fn in pairs("images.txt")}
+    uuid2classid = {}
+    classid2index: dict = {}
+    for uuid, classid in pairs("image_class_labels.txt"):
+        uuid2classid[uuid] = classid
+        if classid not in classid2index:  # dense ids by first appearance
+            classid2index[classid] = len(classid2index)
+    uuid2istrain = {u: v.strip() == "1"
+                    for u, v in pairs("train_test_split.txt")}
+
+    train, test = [], []
+    for uuid, path in uuid2path.items():  # images.txt order
+        row = f"{path} {classid2index[uuid2classid[uuid]]}"
+        (train if uuid2istrain[uuid] else test).append(row)
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), test)
+    _write(os.path.join(out, "class_names.txt"),
+           [classid2name[cid] for cid in classid2index])
+
+
+def prepare_vegfru(out: str, prefix: str) -> None:
+    """vegfru/dataset_preparation.ipynb: veg200 labels keep 0-199, fru92
+    labels shift by +200 (292 classes total); train+val -> train+database,
+    test -> test; class names from the image directory names."""
+    def read_list(sub, stem, split, offset):
+        rows = []
+        with open(os.path.join(out, f"{sub}_lists",
+                               f"{stem}_{split}.txt")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                path, label = line.rsplit(" ", 1)
+                rows.append((f"{prefix}/{sub}_images/{path}",
+                             int(label) + offset))
+        return rows
+
+    train = (read_list("veg200", "veg", "train", 0)
+             + read_list("veg200", "veg", "val", 0)
+             + read_list("fru92", "fru", "train", 200)
+             + read_list("fru92", "fru", "val", 200))
+    test = (read_list("veg200", "veg", "test", 0)
+            + read_list("fru92", "fru", "test", 200))
+
+    lines = [f"{p} {l}" for p, l in train]
+    _write(os.path.join(out, "train.txt"), lines)
+    _write(os.path.join(out, "database.txt"), lines)
+    _write(os.path.join(out, "test.txt"), [f"{p} {l}" for p, l in test])
+
+    names = {}
+    for p, l in train:
+        names[l] = " ".join(p.split("/")[-2].split("_")).lower()
+    # notebook writes range(292); ascending label order generalizes that
+    # (sorted(names) == range(292) on the full distribution)
+    _write(os.path.join(out, "class_names.txt"),
+           [names[i] for i in sorted(names)])
+
+
 PREPARERS = {"cub200": prepare_cub200, "cars196": prepare_cars196,
-             "aircraft": prepare_aircraft}
+             "aircraft": prepare_aircraft, "food101": prepare_food101,
+             "nabirds": prepare_nabirds, "vegfru": prepare_vegfru}
 
 
 def main():

@@ -31,9 +31,9 @@ def make_config(name, **crit):
     }
 
 
-SGD_METHODS = ["concepthash", "orthohash", "csq", "dpn", "hashnet", "dpsh",
-               "dtsh", "greedyhash", "unsup_greedyhash", "ce", "a2net_ce",
-               "semicon_ce", "cibhash", "bihalf"]
+SGD_METHODS = ["concepthash", "orthohash", "orthohash_bcs", "csq", "dpn",
+               "hashnet", "dpsh", "dtsh", "greedyhash", "unsup_greedyhash",
+               "ce", "a2net_ce", "semicon_ce", "cibhash", "bihalf"]
 
 
 @pytest.mark.parametrize("name", SGD_METHODS)
@@ -288,3 +288,47 @@ def test_identity_trunk(rng):
     out = model.apply(vs, feats, train=False)
     assert out["codes"].shape == (4, 16)
     assert out["logits"].shape == (4, 4)
+
+
+def test_orthohash_bcs_sign_centroid_head(rng):
+    """OrthoHashWithBCS (reference models/arch/orthohash.py:57-63): logits2
+    is the cosine of the codes against SIGN-quantized shared centroids, and
+    bcs_scale blends it into the margin CE."""
+    cfg = make_config("orthohash_bcs")
+    method = M.get_method("orthohash_bcs")
+    codebook = M.prepare_codebook(method, cfg)
+    model = method.build_model(cfg, codebook)
+
+    sample = jnp.asarray(rng.standard_normal((4, 16, 16, 3)), jnp.float32)
+    k = jax.random.PRNGKey(1)
+    variables = model.init({"params": k, "dropout": jax.random.fold_in(k, 1)},
+                           sample, train=True)
+    out = model.apply(variables, sample, train=False)
+    assert "logits2" in out
+
+    # expected: normalize(codes) @ normalize(sign(centroids)).T — centroids
+    # here are the fixed signed codebook (constants collection)
+    codes = np.asarray(out["codes"], np.float64)
+    cents = np.sign(np.asarray(codebook, np.float64))
+    xn = codes / np.linalg.norm(codes, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out["logits2"]), xn @ cn.T,
+                               atol=1e-5)
+    # signed codebook: logits == logits2 (centroids already in {-1,1})
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(out["logits2"]), atol=1e-5)
+
+    # loss blend: bcs_scale=1 averages the two logits before the margin CE
+    onehot = np.eye(4, dtype=np.float32)
+    out2 = dict(out)
+    # force a non-uniform difference (a constant shift would be softmax-
+    # invariant and hide the blend)
+    out2["logits2"] = out["logits2"] + jnp.asarray(
+        rng.standard_normal(out["logits2"].shape), jnp.float32)
+    l0, _ = L.orthohash_loss(out2, onehot, bcs_scale=0.0)
+    l1, _ = L.orthohash_loss(out2, onehot, bcs_scale=1.0)
+    blended = dict(out)
+    blended["logits"] = (out2["logits"] + out2["logits2"]) / 2.0
+    lb, _ = L.orthohash_loss(blended, onehot)
+    np.testing.assert_allclose(float(l1), float(lb), atol=1e-6)
+    assert not np.allclose(float(l0), float(l1))

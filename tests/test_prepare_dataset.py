@@ -110,3 +110,84 @@ def test_manifests_parse_via_framework(tmp_path):
     m = read_manifest(out, "train.txt")
     assert len(m.paths) == 2
     np.testing.assert_array_equal(m.labels, [0, 1])
+
+
+def test_food101_manifests(tmp_path):
+    import json
+
+    meta = tmp_path / "food101" / "food-101" / "meta"
+    meta.mkdir(parents=True)
+    (meta / "classes.txt").write_text("apple_pie\nbaby_back_ribs\n")
+    (meta / "train.json").write_text(json.dumps(
+        {"apple_pie": ["apple_pie/1001", "apple_pie/1002"],
+         "baby_back_ribs": ["baby_back_ribs/2001"]}))
+    (meta / "test.json").write_text(json.dumps(
+        {"baby_back_ribs": ["baby_back_ribs/2002"]}))
+
+    out = str(tmp_path / "food101")
+    prep.prepare_food101(out, "data/food101")
+    train = _read(os.path.join(out, "train.txt"))
+    assert train == [
+        "data/food101/food-101/images/apple_pie/1001.jpg 0",
+        "data/food101/food-101/images/apple_pie/1002.jpg 0",
+        "data/food101/food-101/images/baby_back_ribs/2001.jpg 1"]
+    assert _read(os.path.join(out, "database.txt")) == train
+    assert _read(os.path.join(out, "test.txt")) == [
+        "data/food101/food-101/images/baby_back_ribs/2002.jpg 1"]
+    assert _read(os.path.join(out, "class_names.txt")) == [
+        "apple pie", "baby back ribs"]
+
+
+def test_nabirds_manifests(tmp_path):
+    root = tmp_path / "nabirds" / "nabirds"
+    root.mkdir(parents=True)
+    (root / "classes.txt").write_text(
+        "295 Acadian Flycatcher\n296 Alder Flycatcher\n297 Unused Parent\n")
+    (root / "images.txt").write_text(
+        "u1 0295/a.jpg\nu2 0296/b.jpg\nu3 0295/c.jpg\n")
+    # class 296 appears FIRST -> dense index 0 (appearance order)
+    (root / "image_class_labels.txt").write_text(
+        "u2 296\nu1 295\nu3 295\n")
+    (root / "train_test_split.txt").write_text("u1 1\nu2 1\nu3 0\n")
+
+    out = str(tmp_path / "nabirds")
+    prep.prepare_nabirds(out, "data/nabirds")
+    train = _read(os.path.join(out, "train.txt"))
+    # images.txt order; labels densely re-indexed by appearance order
+    assert train == ["data/nabirds/nabirds/images/0295/a.jpg 1",
+                     "data/nabirds/nabirds/images/0296/b.jpg 0"]
+    assert _read(os.path.join(out, "database.txt")) == train
+    assert _read(os.path.join(out, "test.txt")) == [
+        "data/nabirds/nabirds/images/0295/c.jpg 1"]
+    assert _read(os.path.join(out, "class_names.txt")) == [
+        "Alder Flycatcher", "Acadian Flycatcher"]
+
+
+def test_vegfru_manifests(tmp_path):
+    out = tmp_path / "vegfru"
+    (out / "veg200_lists").mkdir(parents=True)
+    (out / "fru92_lists").mkdir(parents=True)
+    (out / "veg200_lists" / "veg_train.txt").write_text(
+        "Chinese_artichoke/v1.jpg 0\n")
+    (out / "veg200_lists" / "veg_val.txt").write_text(
+        "water_spinach/v2.jpg 199\n")
+    (out / "veg200_lists" / "veg_test.txt").write_text(
+        "Chinese_artichoke/v3.jpg 0\n")
+    (out / "fru92_lists" / "fru_train.txt").write_text("apple/f1.jpg 0\n")
+    (out / "fru92_lists" / "fru_val.txt").write_text("yumberry/f2.jpg 91\n")
+    (out / "fru92_lists" / "fru_test.txt").write_text("apple/f3.jpg 0\n")
+
+    prep.prepare_vegfru(str(out), "data/vegfru")
+    train = _read(os.path.join(str(out), "train.txt"))
+    assert train == [
+        "data/vegfru/veg200_images/Chinese_artichoke/v1.jpg 0",
+        "data/vegfru/veg200_images/water_spinach/v2.jpg 199",
+        "data/vegfru/fru92_images/apple/f1.jpg 200",   # fru labels +200
+        "data/vegfru/fru92_images/yumberry/f2.jpg 291"]
+    assert _read(os.path.join(str(out), "database.txt")) == train
+    assert _read(os.path.join(str(out), "test.txt")) == [
+        "data/vegfru/veg200_images/Chinese_artichoke/v3.jpg 0",
+        "data/vegfru/fru92_images/apple/f3.jpg 200"]
+    # class names in ascending label order (== range(292) on the full set)
+    assert _read(os.path.join(str(out), "class_names.txt")) == [
+        "chinese artichoke", "water spinach", "apple", "yumberry"]
