@@ -5,10 +5,15 @@ and ViT-B/32 encode throughput on the available accelerator.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-vs_baseline is measured in-run: the same retrieval workload on host NumPy
-(the reference has no published numbers — SURVEY.md §6; its retrieval scoring
-ran on a single GPU/CPU with dense float distance matrices). North star
-(BASELINE.json): >10x CPU retrieval QPS; speed-of-light encode.
+vs_baseline DEFINITION (pinned since r02 — do not change without renaming the
+field): device qps / cpu_numpy_qps_1core, where the denominator is the same
+retrieval workload on host NumPy measured on THIS box's single CPU core over
+a 100k gallery and scaled linearly to the device gallery size. (r01 used a
+multi-iteration NumPy measure — superseded.) The reference has no published
+retrieval numbers (SURVEY.md §6). North star (BASELINE.json): >10x CPU
+retrieval QPS; speed-of-light encode. The headline qps rides approx_min_k
+(recall_target 0.95); the JSON carries exact_topk_qps and a measured
+recall_at_100 beside it.
 
 Usage: python bench.py [--smoke]   (--smoke: tiny sizes, CPU-safe, for CI)
 """
@@ -176,6 +181,166 @@ def bench_train_step(jax, jnp, batch: int, tiny: bool, chunk: int = 1):
     return batch * chunk / sec
 
 
+def _flagship_train_parts(jax, jnp, tiny: bool):
+    """Model/step factory shared by the synthetic-tensor and from-disk train
+    benches (flagship ConceptHash, bf16)."""
+    from concepthash_tpu.losses.concepthash import lgh_loss
+    from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
+    from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
+
+    if tiny:
+        vcfg = ClipVisionConfig(hidden_size=64, intermediate_size=128,
+                                num_layers=2, num_heads=4, image_size=32,
+                                patch_size=8, projection_dim=32)
+        ccfg = ConceptHashConfig(nbit=16, nclass=10, ncontext=4, center_dim=32,
+                                 text_projection_dims=(32,))
+    else:
+        vcfg = ClipVisionConfig()
+        ccfg = ConceptHashConfig(nbit=64, nclass=200)
+    center = np.zeros((ccfg.nclass, ccfg.center_dim), np.float32)
+    model = ConceptHash(vcfg, ccfg, adapters=AdapterConfig(),
+                        fixed_center=center, dtype=jnp.bfloat16)
+    loss_fn = lambda out, b: lgh_loss(out, b["label"], ncontext=ccfg.ncontext)
+    return model, loss_fn, vcfg, ccfg
+
+
+def _jpeg_fixture(n_images: int, size: int, nclass: int = 10) -> str:
+    """Render a reusable on-disk JPEG dataset (cached under /tmp across
+    runs): random textured images, quality 90 — a realistic decode load."""
+    import os
+
+    root = f"/tmp/bench_jpeg_{size}_{n_images}"
+    manifest = os.path.join(root, "train.txt")
+    if os.path.exists(manifest):
+        return root
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n_images):
+        # low-frequency noise upsampled: compresses like a natural image,
+        # not like white noise (which would overstate decode cost)
+        small = rng.integers(0, 256, (size // 8, size // 8, 3), np.uint8)
+        img = Image.fromarray(small).resize((size, size), Image.BILINEAR)
+        rel = f"images/{i:05d}.jpg"
+        img.save(os.path.join(root, rel), quality=90)
+        lines.append(f"{rel} {int(rng.integers(0, nclass))}")
+    with open(manifest, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root
+
+
+def bench_loader(root: str, batch: int, resize: int, native: bool,
+                 cache: bool = False, epochs: int = 1) -> float:
+    """Host decode pipeline only: JPEGs on disk -> uint8 batches (img/s).
+    cache=True measures the warm RAM-cache path (epoch 2+ of the default
+    fine-grained-dataset config)."""
+    from concepthash_tpu.data.manifest import HashingDataset
+    from concepthash_tpu.data.pipeline import Loader
+
+    ds = HashingDataset(root, "train.txt", 200)
+    loader = Loader(ds, batch, resize=resize, shuffle=True, cache=cache,
+                    native_decode=native)
+    if cache:  # warm the cache outside the timed window
+        for _ in loader:
+            pass
+    n = 0
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for b in loader:
+            n += b["n_valid"]
+    return n / (time.perf_counter() - t0)
+
+
+def bench_pipeline_train(jax, jnp, root: str, batch: int, tiny: bool,
+                         chunk: int, native: bool, cache: bool = False):
+    """END-TO-END from disk: Loader (JPEG decode) -> device RRC+normalize ->
+    chunked ConceptHash train step. Sustained img/s over one epoch — the
+    number SURVEY §7 risk 9 asks for (host decode vs ~4k img/s train rate).
+    """
+    from concepthash_tpu.data.manifest import HashingDataset
+    from concepthash_tpu.data.pipeline import Loader
+    from concepthash_tpu.data.preprocess import preprocess_batch
+    from concepthash_tpu.train.optim import build_optimizer
+    from concepthash_tpu.train.state import (create_train_state,
+                                             make_multi_train_step)
+
+    model, loss_fn, vcfg, ccfg = _flagship_train_parts(jax, jnp, tiny)
+    crop = vcfg.image_size
+    resize = crop + crop // 8
+
+    def train_pp(images, rng):
+        return preprocess_batch(images, rng, crop=crop, norm=2, train=True,
+                                augment="rrc").astype(jnp.bfloat16)
+
+    sample = jnp.zeros((batch, resize, resize, 3), jnp.uint8)
+    rng = jax.random.PRNGKey(0)
+    params_init = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        train_pp(sample, rng), train=True)["params"]
+    tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 100, 100,
+                         params_init, backbone_lr_scale=0.0)
+    state = create_train_state(model, tx, train_pp(sample, rng), rng)
+    step = make_multi_train_step(model, loss_fn, tx, donate=False,
+                                 preprocess_fn=train_pp)
+
+    ds = HashingDataset(root, "train.txt", ccfg.nclass)
+    loader = Loader(ds, batch, resize=resize, shuffle=True, drop_last=True,
+                    cache=cache, native_decode=native)
+    if cache:
+        for _ in loader:
+            pass
+
+    holder = {"state": state}
+
+    def one_epoch():
+        n = 0
+        pending = []
+        last = None
+        for b in loader:
+            pending.append({"image": b["image"], "label": b["label"]})
+            n += b["n_valid"]
+            if len(pending) == chunk:
+                stacked = {k: np.stack([p[k] for p in pending])
+                           for k in pending[0]}
+                holder["state"], m = step(holder["state"], stacked)
+                last = m["loss"][-1]
+                pending.clear()
+        return n, last
+
+    n0, l0 = one_epoch()          # warmup epoch (compile + page cache)
+    _fetch(l0)
+    t0 = time.perf_counter()
+    n1, l1 = one_epoch()
+    _fetch(l1)
+    return n1 / (time.perf_counter() - t0)
+
+
+def measure_recall_at_k(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
+                        topk: int = 100) -> float:
+    """Distance-level recall of the approx_min_k serving path vs exact
+    top-k on the benched gallery (the approx/exact tradeoff surfaced in the
+    bench JSON per VERDICT r2 weak-5)."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk
+
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(np.sign(rng.standard_normal((n_db, nbit))), jnp.bfloat16)
+    q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
+    d_approx, _ = retrieve_topk(q, db, k=topk, exact=False)
+    d_exact, _ = retrieve_topk(q, db, k=topk, exact=True)
+    d_approx = np.sort(np.asarray(d_approx), 1)
+    d_exact = np.sort(np.asarray(d_exact), 1)
+    # distance-level recall: fraction of exact top-k distance multiset
+    # recovered (ties make index-level recall ill-defined for Hamming)
+    hit = 0
+    for qa, qe in zip(d_approx, d_exact):
+        ca = np.bincount(qa.astype(np.int64), minlength=int(qe.max()) + 2)
+        ce = np.bincount(qe.astype(np.int64), minlength=int(qe.max()) + 2)
+        hit += np.minimum(ca[:len(ce)], ce).sum()
+    return hit / (len(d_exact) * topk)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -223,6 +388,43 @@ def main():
         except Exception as e:
             print(f"b1024 train bench failed: {e}", file=sys.stderr)
 
+    # --- input pipeline: JPEGs on disk -> train step (SURVEY §7 risk 9) ---
+    if args.smoke:
+        jpeg_root = _jpeg_fixture(128, 72)
+        pipe_batch, pipe_resize, pipe_chunk = 16, 36, 2
+    else:
+        jpeg_root = _jpeg_fixture(4096, 280)
+        pipe_batch, pipe_resize, pipe_chunk = 256, 252, 4
+    loader_qps = loader_native_qps = loader_cached_qps = pipe_qps = None
+    pipe_cached_qps = None
+    try:
+        loader_qps = bench_loader(jpeg_root, pipe_batch, pipe_resize,
+                                  native=False)
+        try:
+            loader_native_qps = bench_loader(jpeg_root, pipe_batch,
+                                             pipe_resize, native=True)
+        except Exception as e:
+            print(f"native loader bench failed: {e}", file=sys.stderr)
+        loader_cached_qps = bench_loader(jpeg_root, pipe_batch, pipe_resize,
+                                         native=False, cache=True)
+        use_native = bool(loader_native_qps
+                          and loader_native_qps > (loader_qps or 0))
+        pipe_qps = bench_pipeline_train(jax, jnp, jpeg_root, pipe_batch,
+                                        tiny=args.smoke, chunk=pipe_chunk,
+                                        native=use_native)
+        pipe_cached_qps = bench_pipeline_train(
+            jax, jnp, jpeg_root, pipe_batch, tiny=args.smoke,
+            chunk=pipe_chunk, native=use_native, cache=True)
+    except Exception as e:
+        print(f"input-pipeline bench failed: {e}", file=sys.stderr)
+
+    try:
+        recall = measure_recall_at_k(jnp, jax, min(n_db, 1_000_000),
+                                     min(n_q, 512))
+    except Exception as e:
+        print(f"recall measurement failed: {e}", file=sys.stderr)
+        recall = None
+
     result = {
         "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery",
         "value": round(qps, 1),
@@ -237,6 +439,18 @@ def main():
         "train_img_per_s_single_dispatch": round(trn, 1) if trn else None,
         "train_img_per_s_b1024": round(trn_big, 1) if trn_big else None,
         "train_chunk": 4 if args.smoke else 16,
+        # approx_min_k serving tradeoff (headline qps is the approximate
+        # path; exact_topk_qps above is the deterministic one)
+        "recall_at_100": round(recall, 4) if recall is not None else None,
+        # host JPEG pipeline (1-CPU-core box; scales with host cores)
+        "loader_img_per_s": round(loader_qps, 1) if loader_qps else None,
+        "loader_native_img_per_s": (round(loader_native_qps, 1)
+                                    if loader_native_qps else None),
+        "loader_cached_img_per_s": (round(loader_cached_qps, 1)
+                                    if loader_cached_qps else None),
+        "pipeline_train_img_per_s": round(pipe_qps, 1) if pipe_qps else None,
+        "pipeline_train_cached_img_per_s": (round(pipe_cached_qps, 1)
+                                            if pipe_cached_qps else None),
     }
     print(json.dumps(result))
 
