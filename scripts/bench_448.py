@@ -30,7 +30,9 @@ SMOKE = bool(os.environ.get("SMOKE"))
 
 
 def fence(x):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[-1])[:1])
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    np.asarray(jax.device_get(
+        leaf if getattr(leaf, "ndim", 0) == 0 else leaf[..., :1]))
 
 
 def build(attn: str, fused: str):
