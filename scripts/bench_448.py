@@ -58,8 +58,11 @@ def bench_encode(attn: str, fused: str, batch: int) -> float:
     model, vcfg, _ = build(attn, fused)
     imgs = jnp.zeros((batch, vcfg.image_size, vcfg.image_size, 3),
                      jnp.bfloat16)
+    # init on a small sample — init executes an un-donated f32-param forward
+    # and OOMs at the bench batch (shapes are independent of init batch)
+    small = jnp.zeros((4, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)}, imgs,
+                            "dropout": jax.random.PRNGKey(1)}, small,
                            train=False)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)["codes"])
     fence(fwd(variables, imgs))
@@ -82,11 +85,12 @@ def bench_train(attn: str, fused: str, batch: int) -> float:
     imgs = jnp.zeros((batch, vcfg.image_size, vcfg.image_size, 3),
                      jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
+    small = jnp.zeros((4, vcfg.image_size, vcfg.image_size, 3), jnp.bfloat16)
     params = model.init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-                        imgs, train=True)["params"]
+                        small, train=True)["params"]
     tx = build_optimizer({"name": "adam", "lr": 1e-3}, None, 100, 100, params,
                          backbone_lr_scale=0.0)
-    state = create_train_state(model, tx, imgs, rng)
+    state = create_train_state(model, tx, small, rng)
     loss_fn = lambda out, b: lgh_loss(out, b["label"], ncontext=ccfg.ncontext)
     y = np.eye(ccfg.nclass, dtype=np.float32)[
         np.random.default_rng(0).integers(0, ccfg.nclass, batch)]
@@ -109,7 +113,7 @@ def bench_train(attn: str, fused: str, batch: int) -> float:
 
 
 def main():
-    enc_batch = 8 if SMOKE else 128
+    enc_batch = 8 if SMOKE else 64
     trn_batch = 8 if SMOKE else 32
     results = {"image_size": 64 if SMOKE else 448,
                "patch": 16, "tokens": (17 if SMOKE else 785) + 4}

@@ -81,3 +81,28 @@ def test_tail_batch_in_meters(exp):
     _, m_padded = exp.eval_step(exp.state, padded)
     biased = (float(m_full["loss"]) * 8 + float(m_padded["loss"]) * 8) / 16
     assert abs(meters["loss"] - biased) > 1e-6  # the bias the fix removes
+
+
+def test_restore_partial_keeps_fresh_on_mismatch():
+    """finetune_init's lenient restore (hashing._restore_partial): matching
+    leaves load, shape-mismatched or missing leaves keep the template
+    (reference finetune_reset semantics — a head re-targeted to a new nclass
+    is freshly initialized)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from concepthash_tpu.experiments.hashing import _restore_partial
+
+    template = {"backbone": {"w": jnp.zeros((4, 4))},
+                "head": {"w": jnp.zeros((4, 8)), "b": jnp.zeros((8,))},
+                "extra": jnp.zeros((2,))}
+    blob = {"backbone": {"w": np.ones((4, 4))},
+            "head": {"w": np.ones((4, 6)), "b": np.ones((6,))}}  # old nclass
+    out, n_ok, n_skip = _restore_partial(template, blob)
+    np.testing.assert_array_equal(np.asarray(out["backbone"]["w"]),
+                                  np.ones((4, 4)))
+    # mismatched head + missing 'extra' keep the fresh template values
+    np.testing.assert_array_equal(np.asarray(out["head"]["w"]),
+                                  np.zeros((4, 8)))
+    np.testing.assert_array_equal(np.asarray(out["extra"]), np.zeros((2,)))
+    assert n_ok == 1 and n_skip == 3
