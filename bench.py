@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -253,11 +254,75 @@ def bench_loader(root: str, batch: int, resize: int, native: bool,
     return n / (time.perf_counter() - t0)
 
 
+def bench_h2d(jax, jnp, mb: int = 48) -> dict:
+    """Host->device bandwidth, zeros vs incompressible data. On the tunneled
+    relay the wire layer compresses: zeros move ~2x faster than real image
+    bytes — the pipeline ceiling follows the RANDOM number."""
+    rng = np.random.default_rng(0)
+    out = {}
+    for name, arr in (("zeros", np.zeros((mb, 1024, 1024), np.uint8)),
+                      ("random", rng.integers(0, 256, (mb, 1024, 1024),
+                                              np.uint8))):
+        jax.device_put(arr[:1]).block_until_ready()  # connection warmup
+        t0 = time.perf_counter()
+        d = jax.device_put(arr)
+        np.asarray(d[0, 0, :1])
+        out[f"h2d_mb_per_s_{name}"] = round(mb / (time.perf_counter() - t0), 1)
+    return out
+
+
+def bench_pipeline_feed(jax, jnp, root: str, batch: int, chunk: int,
+                        native: bool, cache: bool = False,
+                        resize: int = 252) -> float:
+    """Sustained device-feed rate from disk: Loader (JPEG decode) -> chunk
+    stack -> H2D -> trivial device consume, img/s. This is the input
+    pipeline's whole job; compare against train_img_per_s — the sustained
+    end-to-end train rate is min(feed, train). (A full train-step variant
+    exists in bench_pipeline_train; it adds a ~4-min compile and measures
+    the same host-side bottlenecks, so the default bench uses the feed.)"""
+    from concepthash_tpu.data.manifest import HashingDataset
+    from concepthash_tpu.data.pipeline import Loader
+
+    ds = HashingDataset(root, "train.txt", 10)
+    loader = Loader(ds, batch, resize=resize, shuffle=True, drop_last=True,
+                    cache=cache, native_decode=native)
+    if cache:
+        for _ in loader:
+            pass
+    consume = jax.jit(lambda a: a.astype(jnp.float32).sum())
+    # wire warmup: first transfer on a cold relay connection measured 30x
+    # slower than steady state
+    _fetch(consume(np.zeros((chunk, 2, resize, resize, 3), np.uint8)))
+    out = None
+    n = 0
+    pending = []
+    buf = None  # preallocated chunk buffer: fresh 200MB allocations page-
+    #             fault erratically on lazily-backed VM memory (measured
+    #             0.07s-33s for the same np.stack on this host)
+    t0 = time.perf_counter()
+    for b in loader:
+        pending.append(b["image"])
+        n += b["n_valid"]
+        if len(pending) == chunk:
+            if buf is None:
+                buf = np.empty((chunk,) + pending[0].shape,
+                               pending[0].dtype)
+            np.stack(pending, out=buf)
+            out = consume(buf)
+            pending.clear()
+    if out is not None:
+        _fetch(out)
+    return n / (time.perf_counter() - t0)
+
+
 def bench_pipeline_train(jax, jnp, root: str, batch: int, tiny: bool,
                          chunk: int, native: bool, cache: bool = False):
     """END-TO-END from disk: Loader (JPEG decode) -> device RRC+normalize ->
     chunked ConceptHash train step. Sustained img/s over one epoch — the
     number SURVEY §7 risk 9 asks for (host decode vs ~4k img/s train rate).
+    Not part of the default bench (the ViT-B multi-step compile alone costs
+    ~4 min and the host-side bottlenecks it measures are already captured by
+    bench_pipeline_feed); run via PIPELINE_FULL=1 python bench.py.
     """
     from concepthash_tpu.data.manifest import HashingDataset
     from concepthash_tpu.data.pipeline import Loader
@@ -388,16 +453,18 @@ def main():
         except Exception as e:
             print(f"b1024 train bench failed: {e}", file=sys.stderr)
 
-    # --- input pipeline: JPEGs on disk -> train step (SURVEY §7 risk 9) ---
+    # --- input pipeline: JPEGs on disk -> device feed (SURVEY §7 risk 9) ---
     if args.smoke:
         jpeg_root = _jpeg_fixture(128, 72)
         pipe_batch, pipe_resize, pipe_chunk = 16, 36, 2
     else:
-        jpeg_root = _jpeg_fixture(4096, 280)
-        pipe_batch, pipe_resize, pipe_chunk = 256, 252, 4
+        jpeg_root = _jpeg_fixture(1024, 280)
+        pipe_batch, pipe_resize, pipe_chunk = 256, 252, 2
     loader_qps = loader_native_qps = loader_cached_qps = pipe_qps = None
     pipe_cached_qps = None
+    h2d = {}
     try:
+        h2d = bench_h2d(jax, jnp, 8 if args.smoke else 48)
         loader_qps = bench_loader(jpeg_root, pipe_batch, pipe_resize,
                                   native=False)
         try:
@@ -409,12 +476,18 @@ def main():
                                          native=False, cache=True)
         use_native = bool(loader_native_qps
                           and loader_native_qps > (loader_qps or 0))
-        pipe_qps = bench_pipeline_train(jax, jnp, jpeg_root, pipe_batch,
+        pipe_qps = bench_pipeline_feed(jax, jnp, jpeg_root, pipe_batch,
+                                       chunk=pipe_chunk, native=use_native,
+                                       resize=pipe_resize)
+        pipe_cached_qps = bench_pipeline_feed(
+            jax, jnp, jpeg_root, pipe_batch, chunk=pipe_chunk,
+            native=use_native, cache=True, resize=pipe_resize)
+        if os.environ.get("PIPELINE_FULL"):
+            full = bench_pipeline_train(jax, jnp, jpeg_root, pipe_batch,
                                         tiny=args.smoke, chunk=pipe_chunk,
                                         native=use_native)
-        pipe_cached_qps = bench_pipeline_train(
-            jax, jnp, jpeg_root, pipe_batch, tiny=args.smoke,
-            chunk=pipe_chunk, native=use_native, cache=True)
+            print(f"pipeline_full_train_img_per_s: {full:.1f}",
+                  file=sys.stderr)
     except Exception as e:
         print(f"input-pipeline bench failed: {e}", file=sys.stderr)
 
@@ -448,9 +521,14 @@ def main():
                                     if loader_native_qps else None),
         "loader_cached_img_per_s": (round(loader_cached_qps, 1)
                                     if loader_cached_qps else None),
-        "pipeline_train_img_per_s": round(pipe_qps, 1) if pipe_qps else None,
-        "pipeline_train_cached_img_per_s": (round(pipe_cached_qps, 1)
-                                            if pipe_cached_qps else None),
+        # sustained decode->stack->H2D feed rate; end-to-end train rate is
+        # min(this, train_img_per_s). On THIS 1-core tunneled-relay host the
+        # feed is host-CPU-bound (decode + wire serialization share the one
+        # core) — see h2d_mb_per_s_random for the wire ceiling.
+        "pipeline_feed_img_per_s": round(pipe_qps, 1) if pipe_qps else None,
+        "pipeline_feed_cached_img_per_s": (round(pipe_cached_qps, 1)
+                                           if pipe_cached_qps else None),
+        **h2d,
     }
     print(json.dumps(result))
 

@@ -22,6 +22,23 @@ from concepthash_tpu.data.preprocess import load_image_host
 default_workers = 8
 
 
+def _resolve_workers(workers: int) -> int:
+    """CPU-aware decode-pool width. On a host with few cores, a wide thread
+    pool actively HURTS: decode threads release the GIL and starve the main
+    thread's stack/H2D/dispatch work via context-switch thrash (measured on
+    a 1-core relay host: np.stack of a 195MB chunk took 22s next to 8 decode
+    threads vs <1s with 1). Cap at the core count, leaving headroom at >=4
+    cores for the main thread."""
+    import os
+
+    if workers:
+        return workers
+    ncpu = os.cpu_count() or 1
+    if ncpu >= 4:
+        return min(default_workers, ncpu - 1)
+    return 1
+
+
 class ImageSource:
     """Decoded-image access with an optional whole-dataset RAM cache
     (fine-grained galleries are small: CUB 5,994 images ~1.2 GB at 256²)."""
@@ -31,7 +48,7 @@ class ImageSource:
                  native_decode: bool = False):
         self.dataset = dataset
         self.resize = resize
-        self.workers = workers or default_workers
+        self.workers = _resolve_workers(workers)
         self.native_decode = native_decode
         self._cache = None
         self._pool = None  # persistent decode pool, created on first use
@@ -101,10 +118,38 @@ class Loader:
             rng.shuffle(idxs)
         return idxs
 
+    def _make_batch(self, idxs, b: int) -> dict:
+        sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+        images = self.source.get_many(sel)
+        labels = self.onehot[sel]
+        n_valid = len(sel)
+        if n_valid < self.batch_size:  # pad to static shape
+            pad = self.batch_size - n_valid
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            labels = np.concatenate(
+                [labels, np.zeros((pad, labels.shape[1]), labels.dtype)])
+            sel = np.concatenate([sel, np.full(pad, -1)])
+        return {"image": images, "label": labels,
+                "index": sel.astype(np.int32), "n_valid": n_valid}
+
     def __iter__(self) -> Iterator[dict]:
+        import os
+
         idxs = self._epoch_indices()
         self.epoch += 1
         nb = len(self)
+
+        # On a 1-core host background prefetch is pure loss: the producer's
+        # GIL-held numpy work (cache hits, batch stacking) starves the
+        # consumer's H2D/dispatch path via timeslice round-robin — measured
+        # 2-4x WORSE than synchronous production. Overlap only pays when
+        # there is a core to overlap onto.
+        if (os.cpu_count() or 1) < 2:
+            for b in range(nb):
+                yield self._make_batch(idxs, b)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -113,19 +158,7 @@ class Loader:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
-                    images = self.source.get_many(sel)
-                    labels = self.onehot[sel]
-                    n_valid = len(sel)
-                    if n_valid < self.batch_size:  # pad to static shape
-                        pad = self.batch_size - n_valid
-                        images = np.concatenate(
-                            [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
-                        labels = np.concatenate(
-                            [labels, np.zeros((pad, labels.shape[1]), labels.dtype)])
-                        sel = np.concatenate([sel, np.full(pad, -1)])
-                    q.put({"image": images, "label": labels,
-                           "index": sel.astype(np.int32), "n_valid": n_valid})
+                    q.put(self._make_batch(idxs, b))
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
