@@ -236,28 +236,121 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
     query_codes: (Q, nbit) float sign-able codes.
     db: method='mxu' -> (N, nbit) ±1 float (use jnp.sign(codes));
         method='popcount' -> (N, L) uint32 packed (ops.hamming.pack_bits).
-    exact=True uses lax.top_k (deterministic full sort) instead of
-    approx_min_k (recall_target 0.95 default, ties unordered).
+    exact=True returns the exact distance multiset (vs approx_min_k's
+    recall_target 0.95) via the hierarchical selection in
+    ``exact_topk_blocked``, query-chunked to bound peak HBM — measured
+    15.1k qps at the bench point vs 3.1k for a full ``lax.top_k``
+    (scripts/bench_exact_topk.py, v5e, 2026-08-17).
     Returns (distances (Q, k) float32, indices (Q, k) int32).
     """
-    if method == "mxu":
-        nbit = query_codes.shape[-1]
-        sq = jnp.sign(query_codes).astype(jnp.bfloat16)
-        sim = jax.lax.dot_general(sq, db.astype(jnp.bfloat16),
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dist = 0.5 * (nbit - sim)
-    elif method == "popcount":
-        from concepthash_tpu.ops.hamming import hamming_packed, pack_bits
+    def _dist(qc):
+        if method == "mxu":
+            nbit = qc.shape[-1]
+            sq = jnp.sign(qc).astype(jnp.bfloat16)
+            sim = jax.lax.dot_general(sq, db.astype(jnp.bfloat16),
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            return 0.5 * (nbit - sim)
+        if method == "popcount":
+            from concepthash_tpu.ops.hamming import hamming_packed
 
-        dist = hamming_packed(pack_bits(query_codes), db).astype(jnp.float32)
-    else:
+            return hamming_packed(qc, db).astype(jnp.float32)
         raise ValueError(method)
+
+    if method == "popcount":
+        from concepthash_tpu.ops.hamming import pack_bits
+
+        query_codes = pack_bits(query_codes)
     if exact:
+        # lax.map over query tiles: bounds peak HBM to one (chunk, N)
+        # distance tile + its row-major relayout (the full (Q, N) pair OOMs
+        # a 16G chip at Q=2048, N=1M), and scopes the tie-fallback cond to
+        # the tile that tripped it
+        chunk = 1024
+        Q = query_codes.shape[0]
+        if Q <= chunk:
+            return exact_topk_blocked(_dist(query_codes), k)
+        pad = (-Q) % chunk
+        qp = (jnp.concatenate(
+            [query_codes, jnp.zeros((pad,) + query_codes.shape[1:],
+                                    query_codes.dtype)]) if pad
+            else query_codes)
+        d, idx = jax.lax.map(
+            lambda qc: exact_topk_blocked(_dist(qc), k),
+            qp.reshape(-1, chunk, *query_codes.shape[1:]))
+        return (d.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q])
+    d, idx = jax.lax.approx_min_k(_dist(query_codes), k)
+    return d, idx
+
+
+def exact_topk_blocked(dist, k: int, subblock: int = 64, cap: int = 512):
+    """EXACT min-k over the last axis, hierarchically — the TPU-fast path
+    around ``lax.top_k``'s TopK custom call (measured ~0.33 ns/element on
+    v5e regardless of dtype or k, i.e. 67x off HBM speed-of-light for a
+    selection that only needs two passes).
+
+    Three stages, all bandwidth- or small-sort-bound:
+      1. per-subblock mins: (Q, N) -> (Q, N/S) pure min-reduce (one read of
+         the distance matrix at HBM bandwidth);
+      2. select the ``cap`` subblocks with the smallest mins (a top_k over
+         N/S elements, ~S times cheaper than over N) and gather their
+         contents -> (Q, cap*S);
+      3. exact top_k over the gathered candidates (~N/(cap*S) times cheaper
+         than the full row).
+
+    Exactness: any entry outside the selected subblocks is >= its subblock
+    min >= theta_next (the best UNSELECTED subblock min). If the returned
+    k-th distance is strictly below theta_next for every query, no outside
+    entry can displace a returned one and the result equals the full
+    ``lax.top_k`` distance multiset. That validity condition is checked on
+    device; a ``lax.cond`` falls back to the full ``lax.top_k`` when it
+    fails (runs only then), so the function is exact for ALL inputs and
+    fast whenever the k-th distance clears the unselected subblocks —
+    which holds for sign-code Hamming distances (binomial-tailed; the
+    tie-heavy adversarial case is integer-uniform data, exercised in
+    tests/test_retrieval.py).
+
+    Measured (v5e, 2048 queries x 1M x 64-bit, k=100,
+    scripts/bench_exact_topk.py): 15.1k qps vs 3.1k for full lax.top_k
+    (5.0x) at S=64/cap=512 in 1024-query chunks. cap=256 drops BELOW
+    baseline (2.6k) — candidate subblocks exceed the cap, the validity
+    check fails and every chunk pays hierarchy + fallback; keep cap
+    comfortably above k + expected distance-ties (~2-4x k).
+    """
+    Q, N = dist.shape
+    if N <= 2 * cap * subblock or k > cap:
         neg, idx = jax.lax.top_k(-dist, k)
         return -neg, idx
-    d, idx = jax.lax.approx_min_k(dist, k)
-    return d, idx
+    pad = (-N) % subblock
+    if pad:
+        dist = jnp.concatenate(
+            [dist, jnp.full((Q, pad), jnp.inf, dist.dtype)], axis=1)
+    m = (N + pad) // subblock
+    # One reshape up front: the (Q, m, S) view relayouts the matmul's
+    # column-major distances to row-major ONCE (a bandwidth-speed copy);
+    # the min-reduce, the subblock slice-gather, the final top_k AND the
+    # fallback top_k all read that same buffer. (Element-wise
+    # take_along_axis gathers from the 2-d matrix measured ~100 ms/chunk —
+    # the (1,1,S) slice gather here is the fast form.)
+    d3 = dist.reshape(Q, m, subblock)
+    mins = d3.min(axis=-1)                                 # (Q, m)
+    neg_mv, mi = jax.lax.top_k(-mins, cap + 1)             # (Q, cap+1)
+    sel = mi[:, :cap]
+    theta_next = -neg_mv[:, cap]                           # best unselected min
+    g = jnp.take_along_axis(d3, sel[:, :, None], axis=1)   # (Q, cap, S)
+    negd, li = jax.lax.top_k(-g.reshape(Q, cap * subblock), k)
+    d_fast = -negd
+    i_fast = (jnp.take_along_axis(sel, li // subblock, axis=1) * subblock
+              + li % subblock)
+    valid = jnp.all(d_fast[:, -1] < theta_next)
+
+    def _slow(_):
+        # inf padding never enters the top-k (k <= #finite entries), so
+        # indices from the padded width are valid global indices
+        neg, idx = jax.lax.top_k(-d3.reshape(Q, m * subblock), k)
+        return -neg, idx
+
+    return jax.lax.cond(valid, lambda _: (d_fast, i_fast), _slow, None)
 
 
 def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,

@@ -209,6 +209,53 @@ def test_retrieve_topk_matches_bruteforce(rng):
     assert hits >= 0.9 * 8 * 10
 
 
+def test_exact_topk_blocked_equals_full_sort(rng):
+    """exact_topk_blocked (subblock-min hierarchy + validity-gated fallback)
+    returns identical distances to a full sort on BOTH regimes: tie-heavy
+    integer data (validity fails -> on-device lax.top_k fallback) and
+    spread-out continuous data (hierarchical fast path); indices map back
+    to the returned distances. Padding (N not a multiple of subblock) and
+    the small-N direct path are covered."""
+    import jax.numpy as jnp
+    from concepthash_tpu.ops.retrieval import exact_topk_blocked
+
+    for N in (1000, 1024, 1030):          # non-multiple, multiple, off-by-6
+        # integer-valued distances -> massive ties -> fallback branch
+        dist = rng.integers(0, 17, size=(5, N)).astype(np.float32)
+        d_blk, i_blk = exact_topk_blocked(jnp.asarray(dist), k=13,
+                                          subblock=16, cap=8)
+        d_full = np.sort(dist, axis=1)[:, :13]
+        np.testing.assert_array_equal(np.asarray(d_blk), d_full)
+        idx = np.asarray(i_blk)
+        assert idx.min() >= 0 and idx.max() < N
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, idx, axis=1), np.asarray(d_blk))
+
+    # continuous distances (no ties): hierarchical fast path, still exact
+    dist = rng.standard_normal((6, 4096)).astype(np.float32)
+    d_blk, i_blk = exact_topk_blocked(jnp.asarray(dist), k=13,
+                                      subblock=16, cap=64)
+    np.testing.assert_array_equal(np.asarray(d_blk),
+                                  np.sort(dist, axis=1)[:, :13])
+    np.testing.assert_array_equal(
+        np.take_along_axis(dist, np.asarray(i_blk), axis=1),
+        np.asarray(d_blk))
+
+    # adversarial-for-the-hierarchy: all top-k inside one subblock
+    dist = rng.uniform(10.0, 20.0, size=(4, 4096)).astype(np.float32)
+    dist[:, 100:113] = np.linspace(0.0, 1.0, 13, dtype=np.float32)
+    d_blk, i_blk = exact_topk_blocked(jnp.asarray(dist), k=13,
+                                      subblock=16, cap=64)
+    np.testing.assert_array_equal(np.asarray(d_blk),
+                                  np.sort(dist, axis=1)[:, :13])
+
+    # small-N direct path
+    dist = rng.standard_normal((3, 50)).astype(np.float32)
+    d_blk, _ = exact_topk_blocked(jnp.asarray(dist), k=7)
+    np.testing.assert_allclose(np.asarray(d_blk),
+                               np.sort(dist, axis=1)[:, :7], atol=0)
+
+
 def test_explicit_relevance_matrix(rng):
     """GLDv2-style landmark ground truth: relevance given explicitly instead
     of by label matching."""
