@@ -354,7 +354,7 @@ def exact_topk_blocked(dist, k: int, subblock: int = 64, cap: int = 512):
 
 
 def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
-                            db_block: int = 2_000_000):
+                            db_block: int = 2_000_000, exact: bool = False):
     """Serving top-k over galleries too large to materialize distances for
     (100M+ entries on one chip).
 
@@ -362,9 +362,15 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     at N=1e8, nbit=64 — the bf16 form would not fit beside its distance
     workspace). A ``lax.scan`` walks db blocks: each block's distances come
     from one int8×int8 MXU matmul (int8 runs at 2× the bf16 MACs/cycle on
-    v5e), per-block approx_min_k reduces (Q, block) -> (Q, k), and the
+    v5e), per-block selection reduces (Q, block) -> (Q, k), and the
     running result merges via top_k over the concatenated 2k candidates —
     so peak memory is one (Q, db_block) distance tile, never (Q, N).
+
+    Per-block selection is approx_min_k (recall_target 0.95; measured
+    distance-level recall@100 0.9994 at 10M — block losses don't compound
+    across the merge) or, with ``exact=True``, the hierarchical
+    ``exact_topk_blocked`` — the candidate-union merge is exact either
+    way, so exact=True makes the WHOLE streaming result exact.
 
     N must be a multiple of db_block (pad the gallery with +1 rows and mask
     by index if not). Returns (distances (Q, k) f32, indices (Q, k) i32).
@@ -384,7 +390,10 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
         sim = jax.lax.dot_general(qi, block, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         dist = 0.5 * (nbit - sim).astype(jnp.float32)
-        d, idx = jax.lax.approx_min_k(dist, k)
+        if exact:
+            d, idx = exact_topk_blocked(dist, k)
+        else:
+            d, idx = jax.lax.approx_min_k(dist, k)
         idx = idx + bi * db_block
         cd, ci = carry
         dd = jnp.concatenate([cd, d], axis=1)

@@ -49,23 +49,22 @@ def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
     (ops.retrieval.retrieve_topk_streaming): the gallery shard lives as int8
     signs and is walked in blocks of that size — 100M entries/chip × ndev
     chips on a v5e-8 = an 800M-entry gallery with the same O(Q·k·ndev) ICI
-    merge. NOTE the streaming path is APPROXIMATE regardless of ``exact``
-    (per-block approx_min_k at recall_target 0.95; measured distance-level
-    recall@100 0.9994 at 10M, PARITY.md) — ``exact=True`` only affects the
-    non-streaming path. Shards must satisfy shard_size % streaming_block
-    == 0: build them with shard_gallery(..., streaming_block=...)."""
-    if streaming_block and exact:
-        raise ValueError(
-            "exact=True is not available on the streaming path: "
-            "retrieve_topk_streaming is per-block approx_min_k by design "
-            "(use streaming_block=0 for exact top-k)")
+    merge. ``exact`` applies on both paths: the dense path uses the
+    hierarchical exact selection in retrieve_topk, the streaming path
+    switches its per-block selection from approx_min_k (recall_target
+    0.95; measured distance-level recall@100 0.9994 at 10M, PARITY.md) to
+    the same hierarchical exact selection — the candidate-union merges
+    (per-block and cross-shard) are exact either way. Shards must satisfy
+    shard_size % streaming_block == 0: build them with
+    shard_gallery(..., streaming_block=...)."""
     from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
 
     def local_fn(q, db_shard):
         # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block
         if streaming_block:
             d, idx = retrieve_topk_streaming(q, db_shard, k=k,
-                                             db_block=streaming_block)
+                                             db_block=streaming_block,
+                                             exact=exact)
         else:
             d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
         shard = jax.lax.axis_index(axis)

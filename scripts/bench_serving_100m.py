@@ -46,8 +46,10 @@ def main():
                 ).astype(np.float32)
     q = jnp.asarray(q)
 
+    exact = bool(os.environ.get("EXACT"))
     fn = jax.jit(lambda q, db: retrieve_topk_streaming(q, db, k=k,
-                                                       db_block=db_block))
+                                                       db_block=db_block,
+                                                       exact=exact))
 
     def run():
         return fn(q, db)
@@ -66,7 +68,7 @@ def main():
         "value": round(qps, 1), "unit": "queries/s",
         "gallery_bytes": n_db * nbit,  # int8 sign layout
         "pair_distances_per_s": round(qps * n_db, 1),
-        "backend": jax.default_backend()}
+        "backend": jax.default_backend(), "exact": exact}
 
     if os.environ.get("MEASURE_RECALL"):
         # host-exact top-k for a query subset: does per-block approx_min_k

@@ -296,6 +296,16 @@ def test_streaming_topk_matches_exact(rng):
     ham = 0.5 * (nbit - (q[:, None, :] * db[i_st]).sum(-1))
     np.testing.assert_allclose(ham, d_st)
 
+    # exact=True: per-block hierarchical exact selection -> the whole
+    # streaming result is the exact distance multiset, bit-for-bit
+    d_sx, i_sx = retrieve_topk_streaming(jnp.asarray(q),
+                                         jnp.asarray(db, jnp.int8),
+                                         k=k, db_block=1024, exact=True)
+    d_sx, i_sx = map(np.asarray, (d_sx, i_sx))
+    np.testing.assert_array_equal(np.sort(d_sx, axis=1), np.sort(d_ex, axis=1))
+    ham = 0.5 * (nbit - (q[:, None, :] * db[i_sx]).sum(-1))
+    np.testing.assert_allclose(ham, d_sx)
+
 
 def test_nmi_matches_sklearn(rng):
     """normalized_mutual_info vs sklearn's normalized_mutual_info_score

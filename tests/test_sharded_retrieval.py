@@ -75,10 +75,6 @@ def test_sharded_streaming_topk_matches_exact(rng, mesh):
                                        streaming_block=32)
     assert n_real == N
     fn = make_sharded_topk(mesh, k=k, streaming_block=32)  # 4 blocks/shard
-    # exact=True is a contract violation on the approximate streaming path
-    import pytest
-    with pytest.raises(ValueError):
-        make_sharded_topk(mesh, k=k, streaming_block=32, exact=True)
     d_sh, idx_sh = fn(jnp.asarray(q), db_sharded)
 
     d_ref, _ = retrieve_topk(q, db, k=k, method="mxu", exact=True)
@@ -88,3 +84,12 @@ def test_sharded_streaming_topk_matches_exact(rng, mesh):
     full = 0.5 * (nbit - q @ db.T)
     got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
     np.testing.assert_allclose(got, np.asarray(d_sh), atol=1e-4)
+
+    # exact=True on the streaming path: per-shard hierarchical exact
+    # selection + exact merges must reproduce the exact distance multiset
+    fn_ex = make_sharded_topk(mesh, k=k, streaming_block=32, exact=True)
+    d_ex, idx_ex = fn_ex(jnp.asarray(q), db_sharded)
+    np.testing.assert_array_equal(np.sort(np.asarray(d_ex), 1),
+                                  np.sort(np.asarray(d_ref), 1))
+    got = np.take_along_axis(full, np.asarray(idx_ex), axis=1)
+    np.testing.assert_allclose(got, np.asarray(d_ex), atol=1e-4)
