@@ -368,16 +368,28 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
 
     Per-block selection is approx_min_k (recall_target 0.95; measured
     distance-level recall@100 0.9994 at 10M — block losses don't compound
-    across the merge) or, with ``exact=True``, the hierarchical
-    ``exact_topk_blocked`` — the candidate-union merge is exact either
-    way, so exact=True makes the WHOLE streaming result exact.
+    across the merge). ``exact=True`` returns the exact distance multiset:
+    the fast path is the fused Pallas mins-pass + candidate rescore
+    (ops/topk_select.exact_topk_minspass — the distance matrix never
+    touches HBM); its exactness certificate lax.cond-falls back to a
+    per-block hierarchical scan (exact_topk_blocked per block + exact
+    merge) on tie-pathological data, so the result is exact for ALL
+    inputs.
+
+    ``db_signs`` is (N, nbit) int8 signs or the 128-lane packed form from
+    ops/topk_select.pack_serving_gallery ((N/P, 128), P = 128//nbit) —
+    packed is the zero-copy layout for the Pallas mins kernel and the
+    recommended serving format for nbit < 128.
 
     N must be a multiple of db_block (pad the gallery with +1 rows and mask
     by index if not). Returns (distances (Q, k) f32, indices (Q, k) i32).
     """
     Q, nbit = query_codes.shape
-    N = db_signs.shape[0]
+    packed = db_signs.shape[1] == 128 and nbit != 128
+    P = 128 // nbit if packed else 1
+    N = db_signs.shape[0] * P
     assert N % db_block == 0, "pad the gallery to a db_block multiple"
+    assert db_block % P == 0
     nblocks = N // db_block
     qi = jnp.sign(query_codes).astype(jnp.int8)
 
@@ -385,8 +397,13 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     # scan operand into the loop — a second whole-gallery allocation that
     # OOMs at 1e8 entries; the dynamic_slice reads HBM in place)
     def body(bi, carry):
-        block = jax.lax.dynamic_slice(
-            db_signs, (bi * db_block, 0), (db_block, nbit))
+        if packed:
+            block = jax.lax.dynamic_slice(
+                db_signs, (bi * (db_block // P), 0),
+                (db_block // P, 128)).reshape(db_block, nbit)
+        else:
+            block = jax.lax.dynamic_slice(
+                db_signs, (bi * db_block, 0), (db_block, nbit))
         sim = jax.lax.dot_general(qi, block, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         dist = 0.5 * (nbit - sim).astype(jnp.float32)
@@ -403,7 +420,15 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
 
     init = (jnp.full((Q, k), jnp.inf, jnp.float32),
             jnp.full((Q, k), -1, jnp.int32))
-    return jax.lax.fori_loop(0, nblocks, body, init)
+    if not exact:
+        return jax.lax.fori_loop(0, nblocks, body, init)
+
+    from concepthash_tpu.ops.topk_select import exact_topk_minspass
+
+    d_fast, i_fast, valid = exact_topk_minspass(qi, db_signs, k)
+    return jax.lax.cond(
+        valid, lambda _: (d_fast, i_fast),
+        lambda _: jax.lax.fori_loop(0, nblocks, body, init), None)
 
 
 # ---------------------------------------------------------------------------

@@ -60,15 +60,20 @@ def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
     from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
 
     def local_fn(q, db_shard):
-        # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block
+        # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block, or
+        # the 128-lane packed serving layout (ops/topk_select.
+        # pack_serving_gallery) holding P = 128//nbit originals per row
         if streaming_block:
             d, idx = retrieve_topk_streaming(q, db_shard, k=k,
                                              db_block=streaming_block,
                                              exact=exact)
         else:
             d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
+        nbit = q.shape[1]
+        p_pack = 128 // nbit if (db_shard.shape[1] == 128
+                                 and nbit != 128) else 1
         shard = jax.lax.axis_index(axis)
-        gidx = idx + shard * db_shard.shape[0]
+        gidx = idx + shard * (db_shard.shape[0] * p_pack)
         dd = jax.lax.all_gather(d, axis, axis=1, tiled=True)      # (Q, ndev*k)
         gg = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
         neg, sel = jax.lax.top_k(-dd, k)

@@ -1,0 +1,330 @@
+"""Pallas fused sign-matmul + per-subblock min for exact top-k serving.
+
+The exact-top-k pipeline (ops/retrieval.exact_topk_blocked) is a subblock-min
+hierarchy whose first stage — compute Hamming distances, reduce each
+S-entry subblock to its min — is pure bandwidth: XLA materializes the
+(Q, block) distance tile to HBM out of the matmul and reads it back for the
+reduction (plus a relayout copy for the row-major consumers), ~3 full-matrix
+HBM passes for what is arithmetically one MXU sweep. At 100M gallery entries
+that tax is ~20ms/block x 50 blocks and dominates the exact streaming path
+(153 qps, PARITY.md round-3 log).
+
+This kernel keeps the distance tile in VMEM: grid over db row-blocks, one
+int8xint8 MXU matmul per step (int8 runs 2x bf16 MACs/cycle on v5e), the
+(block_rows, Q) similarity tile is group-max-reduced over sublane groups of
+S in registers, and only the (block_rows/S, Q) subblock mins are written to
+HBM — a Q/S-fold write reduction and NO distance matrix anywhere. The
+selection stages downstream (top_k over mins, db-row gather, rescore, final
+top_k) stay in XLA where its TopK custom call is already the right tool.
+
+No reference counterpart (the reference scores galleries with a full torch
+cdist/matmul + sort, utils reconstruction SURVEY.md §2.6); TPU-native
+serving work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pack_serving_gallery(db_signs):
+    """(N, nbit) ±1 -> ((N_pad//P, 128) int8, N_pad) with P = 128//nbit rows
+    packed per 128-lane row.
+
+    Why: Mosaic tiles int8 operands to 128 lanes, so a (N, 64) gallery fed
+    to the kernel is relayout-COPIED with 2x lane padding (+12G HBM at N=1e8
+    — the OOM in the round-3 log). A 128-lane packed gallery matches the
+    tile exactly: zero copy, zero padding, and the MXU contraction runs at
+    K=128 instead of K=nbit. Pad rows are all-zero codes (distance nbit/2)
+    — the same convention as ops/sharded.shard_gallery padding; callers
+    account for them via the returned count.
+    """
+    db = jnp.sign(jnp.asarray(db_signs)).astype(jnp.int8)
+    N, nbit = db.shape
+    assert 128 % nbit == 0, "nbit must divide 128 for the packed layout"
+    P = 128 // nbit
+    pad = (-N) % P
+    if pad:
+        db = jnp.concatenate([db, jnp.zeros((pad, nbit), jnp.int8)])
+    return db.reshape((N + pad) // P, 128), N + pad
+
+
+def _block_diag_queries(qi, P: int):
+    """(Q, nbit) int8 -> (P*Q, 128) block-diagonal: row p*Q+q holds q_q in
+    lane group p, zeros elsewhere — so (packed_db @ qc^T)[:, p*Q+q] is the
+    similarity of packed-slot-p originals with query q."""
+    Q, nbit = qi.shape
+    eye = jnp.eye(P, dtype=jnp.int8)
+    return (eye[:, None, :, None] * qi[None, :, None, :]).reshape(
+        P * Q, P * nbit)
+
+
+def _mins_kernel_packed(qc_ref, db_ref, o_ref, *, nbit: int, P: int,
+                        subblock: int, block_rows2: int, n_rows2: int,
+                        Q: int, chunk2: int):
+    """Packed-gallery variant: db rows are 128-lane packs of P originals;
+    qc is the block-diagonal query matrix. An inner static loop walks
+    ``chunk2``-row chunks of the tile (keeps the (chunk2, P*Q) int32 sim
+    tile small while amortizing grid-step overhead — the plain kernel's
+    one-dot-per-step form measured grid-bound at 10M+ galleries). Group-max
+    over sublane groups of subblock//P packed rows, then over the P lane
+    groups."""
+    i = pl.program_id(0)
+    spp = subblock // P                                    # packed rows/subblock
+    for c in range(block_rows2 // chunk2):                 # static inner loop
+        sim2 = jax.lax.dot_general(
+            db_ref[c * chunk2:(c + 1) * chunk2, :], qc_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (chunk2, P*Q)
+        if n_rows2 % block_rows2:
+            row = (jax.lax.broadcasted_iota(jnp.int32, sim2.shape, 0)
+                   + i * block_rows2 + c * chunk2)
+            sim2 = jnp.where(row < n_rows2, sim2, -(nbit + 2))
+        g = sim2.reshape(chunk2 // spp, spp, sim2.shape[1])
+        gmax = jnp.max(g, axis=1)                          # (nblk, P*Q)
+        m = gmax[:, 0:Q]
+        for p in range(1, P):                              # static lane-group max
+            m = jnp.maximum(m, gmax[:, p * Q:(p + 1) * Q])
+        nblk = chunk2 // spp
+        o_ref[c * nblk:(c + 1) * nblk, :] = (
+            0.5 * (nbit - m).astype(jnp.float32))
+
+
+def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
+                              block_rows2: int | None = None,
+                              interpret: bool = False):
+    """Packed-gallery per-subblock min distances: (Q, nbit) x (Np, 128)
+    int8 (P = 128//nbit originals per row, ops from pack_serving_gallery)
+    -> (ceil(Np*P/S), Q) float32 transposed mins.
+
+    The packed layout matches Mosaic's int8 tile exactly (128 lanes), so
+    the kernel reads the gallery IN PLACE — the (N, nbit<128) form costs a
+    whole-gallery relayout copy with 128/nbit lane padding (the 12G OOM at
+    N=1e8 in PARITY.md's round-3 log) — and the MXU contracts over K=128.
+    """
+    Q, nbit = q_signs.shape
+    assert 128 % nbit == 0
+    P = 128 // nbit
+    Np = db_packed.shape[0]
+    N = Np * P
+    assert subblock % P == 0
+    spp = subblock // P
+    chunk2 = 2048 if (P * Q) <= 1024 else 512
+    chunk2 = max(spp, min(chunk2, _cdiv(Np, spp) * spp))   # tiny-gallery safe
+    if block_rows2 is None:
+        block_rows2 = 4 * chunk2
+    else:
+        assert block_rows2 % spp == 0
+        chunk2 = min(chunk2, block_rows2)
+        while block_rows2 % chunk2:        # largest spp-multiple divisor
+            chunk2 -= spp
+    assert block_rows2 % chunk2 == 0 and chunk2 % spp == 0, (
+        block_rows2, chunk2, spp)
+    grid = _cdiv(Np, block_rows2)
+    qi = jnp.sign(q_signs).astype(jnp.int8)
+    m_pad = grid * (block_rows2 // spp)
+
+    if not _HAS_PALLAS or (not interpret
+                           and jax.default_backend() != "tpu"):
+        return _mins_reference(qi, db_packed.reshape(N, nbit), subblock,
+                               m_pad)
+
+    qc = _block_diag_queries(qi, P)                        # (P*Q, 128)
+    out = pl.pallas_call(
+        functools.partial(_mins_kernel_packed, nbit=nbit, P=P,
+                          subblock=subblock, block_rows2=block_rows2,
+                          n_rows2=Np, Q=Q, chunk2=chunk2),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((P * Q, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows2, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows2 // spp, Q),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, Q), jnp.float32),
+        interpret=interpret,
+    )(qc, db_packed)
+    return out
+
+
+def _mins_kernel(q_ref, db_ref, o_ref, *, nbit: int, subblock: int,
+                 block_rows: int, n_rows: int):
+    """One db row-block: simT = db_blk @ q^T (MXU, int32), group-max over
+    sublane groups of `subblock`, emit min DISTANCES (f32)."""
+    i = pl.program_id(0)
+    sim = jax.lax.dot_general(
+        db_ref[...], q_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # (Bt, Q)
+    if n_rows % block_rows:  # mask padded tail rows (static predicate)
+        row = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+               + i * block_rows)
+        # padded rows get sim below any real value -> dist above any real
+        sim = jnp.where(row < n_rows, sim, -(nbit + 2))
+    g = sim.reshape(block_rows // subblock, subblock, sim.shape[1])
+    gmax = jnp.max(g, axis=1)                               # (Bt/S, Q)
+    o_ref[...] = 0.5 * (nbit - gmax).astype(jnp.float32)
+
+
+def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
+                       block_rows: int | None = None,
+                       interpret: bool = False):
+    """Per-subblock min Hamming distance, (Q, nbit) x (N, nbit) ->
+    (ceil(N/S), Q) float32 — TRANSPOSED (subblock-major) so the in-kernel
+    group reduction splits the sublane axis, which is free, instead of the
+    lane axis. Callers transpose the small mins array, never the distances.
+
+    q_signs: (Q, nbit) ±1 (any float/int dtype); db_i8: (N, nbit) int8 ±1.
+    Entries past N get distance nbit+1 (> any real Hamming distance).
+    """
+    Q, nbit = q_signs.shape
+    N = db_i8.shape[0]
+    if block_rows is None:
+        # keep the (Bt, Q) int32 sim tile ~<=2MB of VMEM
+        block_rows = 2048 if Q <= 1024 else 512
+    assert block_rows % subblock == 0
+    grid = _cdiv(N, block_rows)
+    qi = jnp.sign(q_signs).astype(jnp.int8)
+    m_pad = grid * (block_rows // subblock)
+
+    # Mosaic lowering needs a real TPU; off-TPU (CPU test mesh) use the
+    # equivalent XLA form unless interpret mode is explicitly requested
+    if not _HAS_PALLAS or (not interpret
+                           and jax.default_backend() != "tpu"):
+        return _mins_reference(qi, db_i8, subblock, m_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_mins_kernel, nbit=nbit, subblock=subblock,
+                          block_rows=block_rows, n_rows=N),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((Q, nbit), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, nbit), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows // subblock, Q),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, Q), jnp.float32),
+        interpret=interpret,
+    )(qi, db_i8)
+    return out
+
+
+def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
+    """XLA fallback with identical semantics (used when pallas is absent;
+    also the oracle in tests)."""
+    Q, nbit = qi.shape
+    N = db_i8.shape[0]
+    sim = jax.lax.dot_general(
+        db_i8.astype(jnp.int8), qi,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # (N, Q)
+    pad = m_pad * subblock - N
+    if pad:
+        sim = jnp.concatenate(
+            [sim, jnp.full((pad, Q), -(nbit + 2), jnp.int32)])
+    gmax = sim.reshape(m_pad, subblock, Q).max(axis=1)
+    return 0.5 * (nbit - gmax).astype(jnp.float32)
+
+
+def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
+                        cap: int | None = None, interpret: bool = False):
+    """Exact top-k candidates over an int8 sign gallery via the fused mins
+    kernel + hierarchical selection + db-row gather rescore.
+
+    ``db_i8`` is either (N, nbit) int8 signs or the 128-lane packed form
+    from ``pack_serving_gallery`` ((Np, 128) with P = 128//nbit originals
+    per row, detected by shape) — packed is the zero-copy layout for the
+    kernel; the gather/rescore stages read both layouts identically
+    because packing is a row-major reshape.
+
+    Returns (distances (Q, k) f32, indices (Q, k) i32, valid () bool).
+    ``valid`` is the exactness certificate: the k-th distance of every query
+    is strictly below the best UNSELECTED subblock min, so no entry outside
+    the gathered candidates can belong to the top-k (same argument as
+    ops/retrieval.exact_topk_blocked). When valid is False the caller MUST
+    fall back to an exact path — results here may miss tied entries.
+    """
+    from concepthash_tpu.ops.retrieval import exact_topk_blocked
+
+    Q, nbit = q_signs.shape
+    packed = db_i8.ndim == 2 and db_i8.shape[1] == 128 and nbit != 128
+    P = 128 // nbit if packed else 1
+    N = db_i8.shape[0] * P
+    if cap is None:
+        # distance-tie mass at the k-th value grows with N, so the
+        # candidate budget must too; measured on v5e (probe_minspass):
+        # 10M: cap 512 -> 81ms vs 1024 -> 135ms; 100M: 512 -> 774ms
+        # (inner-selection tie fallback) vs 1024 -> 213ms
+        cap = 512 if N < (1 << 25) else 1024
+    qi = jnp.sign(q_signs).astype(jnp.int8)
+    m_real = _cdiv(N, subblock)
+
+    if m_real <= cap:
+        # fewer subblocks than the candidate budget: the "selection" is the
+        # whole gallery — dense rescore, unconditionally exact
+        rows_db = db_i8.reshape(N, nbit) if packed else db_i8
+        sim = jax.lax.dot_general(
+            qi, rows_db, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dist = 0.5 * (nbit - sim).astype(jnp.float32)
+        neg, idx = jax.lax.top_k(-dist, k)
+        return -neg, idx, jnp.array(True)
+
+    if packed:
+        mins_t = subblock_min_dists_packed(qi, db_i8, subblock=subblock,
+                                           interpret=interpret)
+    else:
+        mins_t = subblock_min_dists(qi, db_i8, subblock=subblock,
+                                    interpret=interpret)    # (m_pad, Q)
+    mins = mins_t[:m_real].T                                 # (Q, m) copy, small
+    # the cap+1 smallest subblock mins — itself hierarchical when m is
+    # large (100M gallery -> m = 1.56M); inner cap2 > cap+1 so the inner
+    # selection can return cap+1 candidates
+    mv, sel_all = exact_topk_blocked(mins, cap + 1, subblock=64,
+                                     cap=max(1024, 2 * (cap + 1)))
+    sel = sel_all[:, :cap]                                   # (Q, cap)
+    theta_next = mv[:, cap]
+
+    rows = (sel[:, :, None] * subblock
+            + jnp.arange(subblock, dtype=sel.dtype)).reshape(Q, cap * subblock)
+    # gather whole SUBBLOCKS (contiguous subblock*nbit-byte chunks), not
+    # rows: scattered 64-byte row reads measured ~130ms for 537MB at the
+    # 10M point — 4KB-chunk gathers run near HBM bandwidth
+    lanes = db_i8.shape[1]
+    pad_rows = (-db_i8.shape[0]) % ((subblock // P) if packed else subblock)
+    dbp = (jnp.concatenate(
+        [db_i8, jnp.zeros((pad_rows, lanes), jnp.int8)]) if pad_rows
+        else db_i8)
+    db_sb = dbp.reshape(-1, subblock * nbit)
+    cand = jnp.take(db_sb, jnp.minimum(sel, db_sb.shape[0] - 1).reshape(-1),
+                    axis=0).reshape(Q, cap, subblock, nbit)
+    sim_c = jax.lax.dot_general(
+        cand, qi, dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                    # (Q, cap, S)
+    dist_c = 0.5 * (nbit - sim_c).astype(jnp.float32).reshape(
+        Q, cap * subblock)
+    dist_c = jnp.where(rows >= N, jnp.inf, dist_c)
+    negd, li = jax.lax.top_k(-dist_c, k)
+    d = -negd
+    idx = jnp.take_along_axis(rows, li, axis=1)
+    valid = jnp.all(d[:, -1] < theta_next)
+    return d, idx, valid

@@ -31,14 +31,21 @@ def main():
     db_block = int(float(os.environ.get("DB_BLOCK", 2_000_000)))
 
     nblocks = n_db // db_block
+    packed = bool(os.environ.get("PACKED"))
+    # PACKED: generate the gallery BORN in the 128-lane serving layout —
+    # reshaping an existing (N, nbit<128) device array relayout-copies it
+    # with 128/nbit lane padding (2x HBM at nbit=64: OOM at 1e8)
+    blk_shape = ((db_block * nbit // 128, 128) if packed
+                 else (db_block, nbit))
 
     @jax.jit
     def gen_db(keys):  # ±1 int8 random signs, written block-wise in place
         def blk(key):
-            bits = jax.random.bits(key, (db_block, nbit), dtype=jnp.uint8)
+            bits = jax.random.bits(key, blk_shape, dtype=jnp.uint8)
             return ((bits & 1) * 2 - 1).astype(jnp.int8)
 
-        return jax.lax.map(blk, keys).reshape(n_db, nbit)
+        return jax.lax.map(blk, keys).reshape(
+            (n_db * nbit // 128, 128) if packed else (n_db, nbit))
 
     db = gen_db(jax.random.split(jax.random.PRNGKey(0), nblocks))
     db.block_until_ready()
@@ -68,7 +75,7 @@ def main():
         "value": round(qps, 1), "unit": "queries/s",
         "gallery_bytes": n_db * nbit,  # int8 sign layout
         "pair_distances_per_s": round(qps * n_db, 1),
-        "backend": jax.default_backend(), "exact": exact}
+        "backend": jax.default_backend(), "exact": exact, "packed": packed}
 
     if os.environ.get("MEASURE_RECALL"):
         # host-exact top-k for a query subset: does per-block approx_min_k
@@ -76,7 +83,7 @@ def main():
         # recall: a streamed hit counts if its distance is <= the exact k-th
         # (Hamming ties make index-level recall ill-posed).
         nq_r = int(os.environ.get("RECALL_QUERIES", 16))
-        db_h = np.asarray(jax.device_get(db[:, :]))  # (N, nbit) int8
+        db_h = np.asarray(jax.device_get(db)).reshape(n_db, nbit)  # int8
         q_h = np.asarray(jax.device_get(q[:nq_r]))
         # float32 matmul hits BLAS (int matmul is numpy's slow path); ±1
         # signs times nbit<=2^23 stay exact in f32

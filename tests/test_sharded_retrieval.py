@@ -93,3 +93,30 @@ def test_sharded_streaming_topk_matches_exact(rng, mesh):
                                   np.sort(np.asarray(d_ref), 1))
     got = np.take_along_axis(full, np.asarray(idx_ex), axis=1)
     np.testing.assert_allclose(got, np.asarray(d_ex), atol=1e-4)
+
+
+def test_sharded_streaming_packed_exact(rng, mesh):
+    """A 128-lane PACKED gallery sharded over the mesh: per-shard streaming
+    exact + ICI merge equals dense exact, with correct global indices
+    (shard offset scales by the P originals-per-packed-row factor)."""
+    from concepthash_tpu.ops.topk_select import pack_serving_gallery
+
+    N, Q, nbit, k = 4096, 8, 32, 10      # P = 4 -> 1024 packed rows
+    db = np.sign(rng.standard_normal((N, nbit))).astype(np.float32)
+    db[db == 0] = 1.0
+    q = np.sign(rng.standard_normal((Q, nbit))).astype(np.float32)
+    packed, n_pad = pack_serving_gallery(db)
+    assert n_pad == N
+
+    # shard the PACKED rows; streaming_block counts ORIGINAL rows, so the
+    # per-shard packed row count must be a multiple of block//P
+    db_sh, _ = shard_gallery(np.asarray(packed), mesh, streaming_block=64)
+    fn = make_sharded_topk(mesh, k=k, streaming_block=256, exact=True)
+    d_sh, idx_sh = fn(jnp.asarray(q), db_sh)
+
+    d_ref, _ = retrieve_topk(q, db, k=k, method="mxu", exact=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(d_sh), 1),
+                                  np.sort(np.asarray(d_ref), 1))
+    full = 0.5 * (nbit - q @ db.T)
+    got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
+    np.testing.assert_allclose(got, np.asarray(d_sh), atol=1e-4)

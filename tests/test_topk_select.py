@@ -1,0 +1,186 @@
+"""Fused mins-pass exact top-k (ops/topk_select.py): kernel semantics in
+interpret mode on CPU, the exactness certificate, and the streaming wiring."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from concepthash_tpu.ops.topk_select import (subblock_min_dists,
+                                             _mins_reference,
+                                             exact_topk_minspass)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _signs(rng, n, nbit):
+    s = np.sign(rng.standard_normal((n, nbit))).astype(np.float32)
+    s[s == 0] = 1.0
+    return s
+
+
+def _oracle_dist(q, db):
+    return 0.5 * (q.shape[1] - q @ db.T)
+
+
+def test_subblock_mins_matches_oracle(rng):
+    """Pallas kernel (interpret) == jnp reference == numpy oracle, including
+    N not a multiple of the subblock or of the row-block (mask path)."""
+    nbit, S, Q = 32, 8, 16
+    for N in (256, 250, 131):           # multiple, S-ragged, block-ragged
+        q = _signs(rng, Q, nbit)
+        db = _signs(rng, N, nbit).astype(np.int8)
+        got = np.asarray(subblock_min_dists(
+            jnp.asarray(q), jnp.asarray(db), subblock=S, block_rows=64,
+            interpret=True))
+        ref = np.asarray(_mins_reference(
+            jnp.asarray(np.sign(q).astype(np.int8)), jnp.asarray(db), S,
+            got.shape[0]))
+        np.testing.assert_array_equal(got, ref)
+        # numpy oracle on the real rows
+        dist = _oracle_dist(q, db.astype(np.float32))
+        m_real = -(-N // S)
+        pad = m_real * S - N
+        if pad:
+            dist = np.concatenate(
+                [dist, np.full((Q, pad), nbit + 1.0, np.float32)], axis=1)
+        mins_np = dist.reshape(Q, m_real, S).min(-1)        # (Q, m)
+        np.testing.assert_array_equal(got[:m_real].T, mins_np)
+        # padded tail rows (beyond m_real) must be worse than any real dist
+        assert got[m_real:].min() > nbit if got.shape[0] > m_real else True
+
+
+def test_exact_minspass_matches_oracle(rng):
+    """On sign-code data the certificate holds and the result equals the
+    exact top-k distance multiset; indices map back to the distances."""
+    nbit, k = 64, 5
+    Q, N = 8, 3000
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit).astype(np.int8)
+    d, idx, valid = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                        k=k, subblock=8, cap=64,
+                                        interpret=True)
+    dist = _oracle_dist(q, db.astype(np.float32))
+    ref = np.sort(dist, 1)[:, :k]
+    d, idx = np.asarray(d), np.asarray(idx)
+    if bool(valid):
+        np.testing.assert_array_equal(d, ref)
+    # returned entries are genuine regardless of the certificate
+    np.testing.assert_array_equal(
+        np.take_along_axis(dist, idx, axis=1), d)
+    assert idx.min() >= 0 and idx.max() < N
+
+
+def test_certificate_fails_on_tie_floods(rng):
+    """All-identical db codes -> every distance ties -> the k-th value can
+    never be strictly below an unselected subblock min -> valid MUST be
+    False (the caller falls back)."""
+    nbit, k = 16, 3
+    q = _signs(rng, 4, nbit)
+    db = np.tile(_signs(rng, 1, nbit), (2000, 1)).astype(np.int8)
+    d, idx, valid = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                        k=k, subblock=8, cap=16,
+                                        interpret=True)
+    assert not bool(valid)
+
+
+def test_streaming_exact_uses_minspass_and_matches(rng):
+    """retrieve_topk_streaming(exact=True) (which routes through the fused
+    mins pass + certificate fallback) equals the dense exact result."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
+
+    nbit, k = 32, 7
+    Q, N = 6, 4096
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit)
+    d_ref, _ = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k, exact=True)
+    d_st, i_st = retrieve_topk_streaming(jnp.asarray(q),
+                                         jnp.asarray(db, jnp.int8),
+                                         k=k, db_block=1024, exact=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(d_st), 1),
+                                  np.sort(np.asarray(d_ref), 1))
+    dist = _oracle_dist(q, db)
+    np.testing.assert_array_equal(
+        np.take_along_axis(dist, np.asarray(i_st), axis=1),
+        np.asarray(d_st))
+
+
+def test_packed_gallery_roundtrip_and_mins(rng):
+    """pack_serving_gallery packs P=128//nbit rows per 128-lane row; the
+    packed mins kernel (interpret) equals the plain-layout reference on the
+    same logical gallery, including pack padding (zero rows at nbit/2)."""
+    from concepthash_tpu.ops.topk_select import (pack_serving_gallery,
+                                                 subblock_min_dists_packed)
+
+    nbit, S, Q = 32, 8, 16           # P = 4
+    N = 203                          # ragged: pack pads to 204
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit)
+    packed, n_pad = pack_serving_gallery(db)
+    assert packed.shape == (n_pad // 4, 128) and n_pad == 204
+    # packing is a row-major reshape: bytes identical
+    np.testing.assert_array_equal(
+        np.asarray(packed).reshape(n_pad, nbit)[:N],
+        np.sign(db).astype(np.int8))
+
+    got = np.asarray(subblock_min_dists_packed(
+        jnp.asarray(q), packed, subblock=S, block_rows2=32, interpret=True))
+    # oracle over the PADDED gallery (pad rows are zero codes, dist nbit/2)
+    dbp = np.concatenate([db, np.zeros((n_pad - N, nbit), np.float32)])
+    dist = 0.5 * (nbit - q @ np.sign(dbp).T)
+    m_real = n_pad // S if n_pad % S == 0 else -(-n_pad // S)
+    pad = m_real * S - n_pad
+    if pad:
+        dist = np.concatenate(
+            [dist, np.full((Q, pad), nbit + 1.0, np.float32)], axis=1)
+    mins_np = dist.reshape(Q, m_real, S).min(-1)
+    np.testing.assert_array_equal(got[:m_real].T, mins_np)
+
+
+def test_minspass_packed_equals_plain(rng):
+    """exact_topk_minspass gives identical results on the packed and plain
+    layouts of the same gallery (pack-pad rows count as zero-code
+    entries, matching the shard_gallery padding convention)."""
+    from concepthash_tpu.ops.topk_select import pack_serving_gallery
+
+    nbit, k = 32, 5
+    Q, N = 8, 3000                   # P = 4, N % 4 == 0 -> no pack pad
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit).astype(np.int8)
+    packed, n_pad = pack_serving_gallery(db)
+    assert n_pad == N
+    d0, i0, v0 = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                     k=k, subblock=8, cap=64, interpret=True)
+    d1, i1, v1 = exact_topk_minspass(jnp.asarray(q), packed,
+                                     k=k, subblock=8, cap=64, interpret=True)
+    assert bool(v0) == bool(v1)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_streaming_exact_packed_matches(rng):
+    """retrieve_topk_streaming(exact=True) on a PACKED gallery equals the
+    dense exact result (fast path and fallback both packed-aware)."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
+    from concepthash_tpu.ops.topk_select import pack_serving_gallery
+
+    nbit, k = 32, 7
+    Q, N = 6, 4096
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit)
+    packed, n_pad = pack_serving_gallery(db)
+    assert n_pad == N
+    d_ref, _ = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k, exact=True)
+    for exact in (True, False):
+        d_st, i_st = retrieve_topk_streaming(jnp.asarray(q), packed,
+                                             k=k, db_block=1024, exact=exact)
+        if exact:
+            np.testing.assert_array_equal(np.sort(np.asarray(d_st), 1),
+                                          np.sort(np.asarray(d_ref), 1))
+        dist = _oracle_dist(q, db)
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, np.asarray(i_st), axis=1),
+            np.asarray(d_st))
