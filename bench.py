@@ -83,6 +83,40 @@ def pack_np(rng, n, nbit):
 _POP = np.array([bin(i).count("1") for i in range(65536)], np.int32)
 
 
+def bench_serving_exact_packed(jnp, jax, n_db: int, n_q: int,
+                               nbit: int = 64, topk: int = 100) -> float:
+    """EXACT top-k on a 128-lane packed int8 gallery via the fused Pallas
+    mins kernel (ops/topk_select.py) — the serving-scale exact path. The
+    gallery is generated BORN packed (reshaping a (N, 64) device array
+    relayout-copies it with 2x lane padding)."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk_streaming
+
+    nblocks = max(1, n_db // 2_000_000)
+    shp = (n_db // nblocks * nbit // 128, 128)
+
+    @jax.jit
+    def gen(keys):
+        return jax.lax.map(
+            lambda k: ((jax.random.bits(k, shp, dtype=jnp.uint8) & 1) * 2 - 1
+                       ).astype(jnp.int8), keys
+        ).reshape(n_db * nbit // 128, 128)
+
+    db = gen(jax.random.split(jax.random.PRNGKey(0), nblocks))
+    db.block_until_ready()
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
+    fn = jax.jit(lambda q, db: retrieve_topk_streaming(
+        q, db, k=topk, db_block=2_000_000, exact=True))
+    d, i = fn(q, db)
+    np.asarray(jax.device_get(i[:1, :1]))
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        d, i = fn(q, db)
+    np.asarray(jax.device_get(i[:1, :1]))
+    return n_q * iters / (time.perf_counter() - t0)
+
+
 def bench_retrieval_cpu(n_db: int, n_q: int, nbit: int = 64, topk: int = 100):
     """Host NumPy baseline: vectorized popcount via 16-bit lookup."""
     rng = np.random.default_rng(0)
@@ -424,6 +458,13 @@ def main():
 
     qps = bench_retrieval(jnp, jax, n_db, n_q)
     qps_exact = bench_retrieval(jnp, jax, n_db, n_q, exact=True)
+    try:  # packed-gallery Pallas mins-kernel exact serving point (10M)
+        qps_exact_10m = (bench_serving_exact_packed(jnp, jax, 10_000_000,
+                                                    256)
+                         if (backend == "tpu" and not args.smoke) else None)
+    except Exception as e:
+        print(f"packed exact bench failed: {e}", file=sys.stderr)
+        qps_exact_10m = None
     # Single-core host NumPy baseline (this box has 1 CPU core), measured on
     # a cpu_db-entry gallery and scaled linearly to the device gallery size
     # (the distance pass is O(Q*N); argpartition is O(Q*N) too).
@@ -505,6 +546,10 @@ def main():
         "vs_baseline": round(qps / cpu_qps, 2),
         "backend": backend,
         "exact_topk_qps": round(qps_exact, 1),
+        # exact serving at 10M entries: Pallas fused mins kernel + packed
+        # gallery (ops/topk_select.py; 100M point in PARITY.md)
+        "serving_exact_10m_qps_packed": (round(qps_exact_10m, 1)
+                                         if qps_exact_10m else None),
         "cpu_numpy_qps_1core": round(cpu_qps, 1),
         "encode_img_per_s": round(enc, 1) if enc else None,
         "encode_batch": batch,
