@@ -268,16 +268,40 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
         # the tile that tripped it
         chunk = 1024
         Q = query_codes.shape[0]
+        nbit = query_codes.shape[-1]
+        N = db.shape[0]
+        # mxu galleries big enough for the hierarchy route through the
+        # fused Pallas mins kernel (distance tile never in HBM); its
+        # certificate falls back to the XLA hierarchical selection, which
+        # has its own full-top_k fallback — exact at every exit. The
+        # sign->int8->packed conversion is loop-invariant (hoisted out of
+        # the query map); ~0.2ms of traffic at 1M x 64.
+        use_kernel = (method == "mxu" and 128 % nbit == 0
+                      and N % (128 // nbit) == 0 and N > 65536
+                      and jax.default_backend() == "tpu")
+        if use_kernel:
+            from concepthash_tpu.ops.topk_select import exact_topk_minspass
+
+            packed_db = jnp.sign(db).astype(jnp.int8).reshape(
+                N * nbit // 128, 128)
+
+        def _exact_tile(qc):
+            if use_kernel:
+                d_f, i_f, ok = exact_topk_minspass(qc, packed_db, k)
+                return jax.lax.cond(
+                    ok, lambda _: (d_f, i_f),
+                    lambda _: exact_topk_blocked(_dist(qc), k), None)
+            return exact_topk_blocked(_dist(qc), k)
+
         if Q <= chunk:
-            return exact_topk_blocked(_dist(query_codes), k)
+            return _exact_tile(query_codes)
         pad = (-Q) % chunk
         qp = (jnp.concatenate(
             [query_codes, jnp.zeros((pad,) + query_codes.shape[1:],
                                     query_codes.dtype)]) if pad
             else query_codes)
         d, idx = jax.lax.map(
-            lambda qc: exact_topk_blocked(_dist(qc), k),
-            qp.reshape(-1, chunk, *query_codes.shape[1:]))
+            _exact_tile, qp.reshape(-1, chunk, *query_codes.shape[1:]))
         return (d.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q])
     d, idx = jax.lax.approx_min_k(_dist(query_codes), k)
     return d, idx
