@@ -184,3 +184,57 @@ def test_streaming_exact_packed_matches(rng):
         np.testing.assert_array_equal(
             np.take_along_axis(dist, np.asarray(i_st), axis=1),
             np.asarray(d_st))
+
+
+def test_exact_paths_fuzz_agree(rng):
+    """Property fuzz: across random shapes, k values, tie regimes, and both
+    gallery layouts, every exact path (dense hier, minspass+certificate,
+    streaming) returns the full-sort distance multiset."""
+    import jax.numpy as jnp
+    from concepthash_tpu.ops.retrieval import (exact_topk_blocked,
+                                               retrieve_topk_streaming)
+    from concepthash_tpu.ops.topk_select import pack_serving_gallery
+
+    for trial in range(6):
+        nbit = int(rng.choice([16, 32, 64]))
+        Q = int(rng.integers(1, 9))
+        N = int(rng.integers(700, 5000))
+        k = int(rng.integers(1, 20))
+        if rng.random() < 0.5:          # tie-heavy regime (integer dists)
+            db = _signs(rng, N, nbit)
+        else:                            # duplicate-row floods
+            base = _signs(rng, max(4, N // 8), nbit)
+            db = base[rng.integers(0, base.shape[0], N)]
+        q = _signs(rng, Q, nbit)
+        dist = _oracle_dist(q, db)
+        ref = np.sort(dist, 1)[:, :k]
+
+        d1, i1 = exact_topk_blocked(jnp.asarray(dist), k,
+                                    subblock=16, cap=32)
+        np.testing.assert_array_equal(np.asarray(d1), ref,
+                                      err_msg=f"hier trial {trial}")
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, np.asarray(i1), 1), np.asarray(d1))
+
+        d2, i2, v2 = exact_topk_minspass(jnp.asarray(q),
+                                         jnp.asarray(db, jnp.int8), k,
+                                         subblock=16, cap=32,
+                                         interpret=True)
+        if bool(v2):
+            np.testing.assert_array_equal(np.sort(np.asarray(d2), 1), ref,
+                                          err_msg=f"minspass trial {trial}")
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, np.asarray(i2), 1), np.asarray(d2))
+
+        blk = int(rng.choice([128, 256]))
+        Npad = -(-N // blk) * blk
+        dbp = np.concatenate([db, np.zeros((Npad - N, nbit), np.float32)])
+        distp = _oracle_dist(q, np.sign(dbp))
+        refp = np.sort(distp, 1)[:, :k]
+        packed, n_pk = pack_serving_gallery(dbp)
+        d3, i3 = retrieve_topk_streaming(jnp.asarray(q), packed, k=k,
+                                         db_block=blk, exact=True)
+        np.testing.assert_array_equal(np.sort(np.asarray(d3), 1), refp,
+                                      err_msg=f"streaming trial {trial}")
+        np.testing.assert_array_equal(
+            np.take_along_axis(distp, np.asarray(i3), 1), np.asarray(d3))
