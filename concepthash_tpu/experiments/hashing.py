@@ -375,16 +375,26 @@ class RetrievalExperiment:
         """Stack K per-batch dicts into (K, ...) arrays, REUSING preallocated
         buffers across chunks. Fresh ~200MB allocations per chunk page-fault
         erratically on lazily-backed VM memory (measured 0.07s-33s for the
-        same np.stack on this host) and churn the allocator everywhere else;
-        the device copy happens synchronously at dispatch, so the buffer is
-        free again by the time the next chunk fills it."""
+        same np.stack on this host) and churn the allocator everywhere else.
+
+        DOUBLE-buffered (two buffers per key, alternating): JAX/PJRT does not
+        guarantee the host buffer is consumed before device_put returns (H2D
+        transfers are async and the CPU backend may zero-copy alias numpy
+        buffers), so refilling the same buffer while the previous chunk's
+        transfer is in flight could corrupt batches. By the time buffer A is
+        reused, the step that consumed buffer B has been dispatched AND the
+        A-step's result has been awaited by the meters — A's transfer is
+        long since complete."""
         bufs = getattr(self, "_chunk_bufs", None)
         if bufs is None:
             bufs = self._chunk_bufs = {}
+            self._chunk_flip = 0
+        self._chunk_flip ^= 1
         out = {}
         for k in items[0]:
             arrs = [np.asarray(b[k]) for b in items]
-            key = (k, len(arrs), arrs[0].shape, arrs[0].dtype.str)
+            key = (k, len(arrs), arrs[0].shape, arrs[0].dtype.str,
+                   self._chunk_flip)
             buf = bufs.get(key)
             if buf is None:
                 buf = bufs[key] = np.empty((len(arrs),) + arrs[0].shape,
@@ -885,10 +895,12 @@ def _jsonable(x):
 
 def _restore_partial(template, data, _stats=None):
     """Lenient restore for finetune init: leaves whose key is missing or
-    whose element count differs keep the template's fresh value (mirrors
-    reference finetune_reset, models/arch/base.py:61 — a new-nclass head is
-    re-initialized while everything else loads). Returns (tree, n_loaded,
-    n_skipped)."""
+    whose SHAPE differs keep the template's fresh value (mirrors reference
+    finetune_reset, models/arch/base.py:61 — a new-nclass head is
+    re-initialized while everything else loads). Shape match, not element
+    count: a same-numel but transposed/reshaped leaf after an architecture
+    tweak must keep the fresh init, not load scrambled weights. Returns
+    (tree, n_loaded, n_skipped)."""
     stats = _stats if _stats is not None else [0, 0]
     if isinstance(template, dict):
         out = {}
@@ -901,10 +913,9 @@ def _restore_partial(template, data, _stats=None):
         return out, stats[0], stats[1]
     if hasattr(template, "shape"):
         arr = None if data is None else np.asarray(data)
-        if arr is not None and arr.size == np.size(template):
+        if arr is not None and arr.shape == tuple(np.shape(template)):
             stats[0] += 1
-            return (jnp.asarray(arr.reshape(np.shape(template)),
-                                dtype=jnp.asarray(template).dtype),
+            return (jnp.asarray(arr, dtype=jnp.asarray(template).dtype),
                     stats[0], stats[1])
         stats[1] += 1
         return template, stats[0], stats[1]

@@ -224,7 +224,7 @@ def _as_onehot(labels):
 
 @functools.partial(jax.jit, static_argnames=("k", "method", "exact"))
 def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
-                  exact: bool = False):
+                  exact: bool = False, n_valid=None):
     """Top-k nearest database entries by Hamming distance — the serving path.
 
     Measured on TPU v5e, 1M-entry 64-bit gallery (bench.py): lax.top_k over
@@ -241,8 +241,19 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
     ``exact_topk_blocked``, query-chunked to bound peak HBM — measured
     15.1k qps at the bench point vs 3.1k for a full ``lax.top_k``
     (scripts/bench_exact_topk.py, v5e, 2026-08-17).
+    n_valid: real database row count when ``db`` carries pad rows (e.g. the
+    zero-code padding from pack_serving_gallery / shard_gallery, which sits
+    at distance nbit/2 — NOT inf-like); rows >= n_valid are masked to +inf
+    inside the selection so pad indices never appear in results. May be a
+    traced scalar (make_sharded_topk derives it per shard from axis_index).
     Returns (distances (Q, k) float32, indices (Q, k) int32).
     """
+    def _mask(dist):
+        if n_valid is None:
+            return dist
+        col = jnp.arange(dist.shape[-1], dtype=jnp.int32)
+        return jnp.where(col < n_valid, dist, jnp.inf)
+
     def _dist(qc):
         if method == "mxu":
             nbit = qc.shape[-1]
@@ -250,11 +261,11 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
             sim = jax.lax.dot_general(sq, db.astype(jnp.bfloat16),
                                       (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            return 0.5 * (nbit - sim)
+            return _mask(0.5 * (nbit - sim))
         if method == "popcount":
             from concepthash_tpu.ops.hamming import hamming_packed
 
-            return hamming_packed(qc, db).astype(jnp.float32)
+            return _mask(hamming_packed(qc, db).astype(jnp.float32))
         raise ValueError(method)
 
     if method == "popcount":
@@ -287,7 +298,8 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
 
         def _exact_tile(qc):
             if use_kernel:
-                d_f, i_f, ok = exact_topk_minspass(qc, packed_db, k)
+                d_f, i_f, ok = exact_topk_minspass(qc, packed_db, k,
+                                                   n_valid=n_valid)
                 return jax.lax.cond(
                     ok, lambda _: (d_f, i_f),
                     lambda _: exact_topk_blocked(_dist(qc), k), None)
@@ -296,9 +308,15 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
         if Q <= chunk:
             return _exact_tile(query_codes)
         pad = (-Q) % chunk
+        # pad the tail by REPEATING the first real query (results are sliced
+        # off): an all-zero pad query has sign(0)=0 codes whose distances all
+        # tie at nbit/2, which defeats the exactness certificate and forces
+        # the whole tail tile through the full top_k fallback — a silent ~5x
+        # tail slowdown whenever Q is not a chunk multiple
         qp = (jnp.concatenate(
-            [query_codes, jnp.zeros((pad,) + query_codes.shape[1:],
-                                    query_codes.dtype)]) if pad
+            [query_codes,
+             jnp.broadcast_to(query_codes[:1],
+                              (pad,) + query_codes.shape[1:])]) if pad
             else query_codes)
         d, idx = jax.lax.map(
             _exact_tile, qp.reshape(-1, chunk, *query_codes.shape[1:]))
@@ -378,7 +396,8 @@ def exact_topk_blocked(dist, k: int, subblock: int = 64, cap: int = 512):
 
 
 def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
-                            db_block: int = 2_000_000, exact: bool = False):
+                            db_block: int = 2_000_000, exact: bool = False,
+                            n_valid=None):
     """Serving top-k over galleries too large to materialize distances for
     (100M+ entries on one chip).
 
@@ -406,7 +425,10 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     recommended serving format for nbit < 128.
 
     N must be a multiple of db_block (pad the gallery with +1 rows and mask
-    by index if not). Returns (distances (Q, k) f32, indices (Q, k) i32).
+    by index if not). ``n_valid``: real row count when the gallery carries
+    pad rows (all-zero codes at distance nbit/2, NOT inf-like) — rows >=
+    n_valid are masked to +inf so pad indices never surface; may be traced.
+    Returns (distances (Q, k) f32, indices (Q, k) i32).
     """
     Q, nbit = query_codes.shape
     packed = db_signs.shape[1] == 128 and nbit != 128
@@ -431,6 +453,9 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
         sim = jax.lax.dot_general(qi, block, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         dist = 0.5 * (nbit - sim).astype(jnp.float32)
+        if n_valid is not None:
+            col = (jnp.arange(db_block, dtype=jnp.int32) + bi * db_block)
+            dist = jnp.where(col < n_valid, dist, jnp.inf)
         if exact:
             d, idx = exact_topk_blocked(dist, k)
         else:
@@ -449,7 +474,8 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
 
     from concepthash_tpu.ops.topk_select import exact_topk_minspass
 
-    d_fast, i_fast, valid = exact_topk_minspass(qi, db_signs, k)
+    d_fast, i_fast, valid = exact_topk_minspass(qi, db_signs, k,
+                                                n_valid=n_valid)
     return jax.lax.cond(
         valid, lambda _: (d_fast, i_fast),
         lambda _: jax.lax.fori_loop(0, nblocks, body, init), None)

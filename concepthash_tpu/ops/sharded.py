@@ -41,7 +41,7 @@ def shard_gallery(db_codes, mesh: Mesh, axis: str = "data",
 
 def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
                       exact: bool = False, axis: str = "data",
-                      streaming_block: int = 0):
+                      streaming_block: int = 0, n_valid: int | None = None):
     """Returns fn(query_codes (Q, nbit) replicated, db_sharded (N, nbit))
     -> (distances (Q, k), global indices (Q, k)).
 
@@ -56,24 +56,34 @@ def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
     the same hierarchical exact selection — the candidate-union merges
     (per-block and cross-shard) are exact either way. Shards must satisfy
     shard_size % streaming_block == 0: build them with
-    shard_gallery(..., streaming_block=...)."""
+    shard_gallery(..., streaming_block=...).
+
+    ``n_valid``: the real (pre-pad) row count returned by shard_gallery.
+    Pad rows are all-ZERO codes at distance nbit/2 — not inf-like — so
+    without masking they can displace real entries in the local top-k and
+    surface pad indices >= n_valid in results. Each shard masks its own pad
+    tail (derived from axis_index) to +inf inside the selection."""
     from concepthash_tpu.ops.retrieval import retrieve_topk, retrieve_topk_streaming
 
     def local_fn(q, db_shard):
         # q: (Q, nbit) replicated; db_shard: (N/ndev, nbit) local block, or
         # the 128-lane packed serving layout (ops/topk_select.
         # pack_serving_gallery) holding P = 128//nbit originals per row
-        if streaming_block:
-            d, idx = retrieve_topk_streaming(q, db_shard, k=k,
-                                             db_block=streaming_block,
-                                             exact=exact)
-        else:
-            d, idx = retrieve_topk(q, db_shard, k=k, method=method, exact=exact)
         nbit = q.shape[1]
         p_pack = 128 // nbit if (db_shard.shape[1] == 128
                                  and nbit != 128) else 1
         shard = jax.lax.axis_index(axis)
-        gidx = idx + shard * (db_shard.shape[0] * p_pack)
+        shard_rows = db_shard.shape[0] * p_pack
+        local_valid = (None if n_valid is None else
+                       jnp.clip(n_valid - shard * shard_rows, 0, shard_rows))
+        if streaming_block:
+            d, idx = retrieve_topk_streaming(q, db_shard, k=k,
+                                             db_block=streaming_block,
+                                             exact=exact, n_valid=local_valid)
+        else:
+            d, idx = retrieve_topk(q, db_shard, k=k, method=method,
+                                   exact=exact, n_valid=local_valid)
+        gidx = idx + shard * shard_rows
         dd = jax.lax.all_gather(d, axis, axis=1, tiled=True)      # (Q, ndev*k)
         gg = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
         neg, sel = jax.lax.top_k(-dd, k)

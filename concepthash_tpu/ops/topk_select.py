@@ -246,7 +246,8 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
 
 
 def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
-                        cap: int | None = None, interpret: bool = False):
+                        cap: int | None = None, interpret: bool = False,
+                        n_valid=None):
     """Exact top-k candidates over an int8 sign gallery via the fused mins
     kernel + hierarchical selection + db-row gather rescore.
 
@@ -262,6 +263,13 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     the gathered candidates can belong to the top-k (same argument as
     ops/retrieval.exact_topk_blocked). When valid is False the caller MUST
     fall back to an exact path — results here may miss tied entries.
+
+    ``n_valid``: real row count when the gallery carries pad rows (the
+    all-zero codes from pack_serving_gallery / shard_gallery sit at distance
+    nbit/2, NOT inf-like); rows >= n_valid are masked to +inf in the rescore
+    so pad indices never surface (a pure-pad selected subblock only wastes
+    candidate budget — the certificate then fails and the caller's exact
+    fallback runs). May be a traced scalar.
     """
     from concepthash_tpu.ops.retrieval import exact_topk_blocked
 
@@ -277,6 +285,7 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         cap = 512 if N < (1 << 25) else 1024
     qi = jnp.sign(q_signs).astype(jnp.int8)
     m_real = _cdiv(N, subblock)
+    nv = N if n_valid is None else n_valid
 
     if m_real <= cap:
         # fewer subblocks than the candidate budget: the "selection" is the
@@ -286,6 +295,9 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
             qi, rows_db, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
         dist = 0.5 * (nbit - sim).astype(jnp.float32)
+        if n_valid is not None:
+            col = jnp.arange(N, dtype=jnp.int32)
+            dist = jnp.where(col < nv, dist, jnp.inf)
         neg, idx = jax.lax.top_k(-dist, k)
         return -neg, idx, jnp.array(True)
 
@@ -322,7 +334,7 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         preferred_element_type=jnp.int32)                    # (Q, cap, S)
     dist_c = 0.5 * (nbit - sim_c).astype(jnp.float32).reshape(
         Q, cap * subblock)
-    dist_c = jnp.where(rows >= N, jnp.inf, dist_c)
+    dist_c = jnp.where(rows >= nv, jnp.inf, dist_c)
     negd, li = jax.lax.top_k(-dist_c, k)
     d = -negd
     idx = jnp.take_along_axis(rows, li, axis=1)

@@ -97,7 +97,8 @@ def test_restore_partial_keeps_fresh_on_mismatch():
                 "head": {"w": jnp.zeros((4, 8)), "b": jnp.zeros((8,))},
                 "extra": jnp.zeros((2,))}
     blob = {"backbone": {"w": np.ones((4, 4))},
-            "head": {"w": np.ones((4, 6)), "b": np.ones((6,))}}  # old nclass
+            "head": {"w": np.ones((8, 4)),     # SAME numel, transposed —
+                     "b": np.ones((6,))}}      # must NOT load scrambled
     out, n_ok, n_skip = _restore_partial(template, blob)
     np.testing.assert_array_equal(np.asarray(out["backbone"]["w"]),
                                   np.ones((4, 4)))

@@ -307,6 +307,62 @@ def test_streaming_topk_matches_exact(rng):
     np.testing.assert_allclose(ham, d_sx)
 
 
+def test_topk_n_valid_masks_pad_rows(rng):
+    """Gallery pad rows (all-zero codes, distance nbit/2 — NOT inf-like)
+    must never surface in top-k when n_valid is given: every real row is
+    placed FARTHER than nbit/2 so an unmasked selection would return pad
+    indices (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from concepthash_tpu.ops.retrieval import (retrieve_topk,
+                                               retrieve_topk_streaming)
+
+    nbit, n_real, n_pad, k = 32, 600, 424, 10
+    q = np.ones((5, nbit), np.float32)
+    db = np.concatenate([np.full((n_real, nbit), -1.0, np.float32),
+                         np.zeros((n_pad, nbit), np.float32)])  # pads closer!
+
+    for exact in (False, True):
+        d, idx = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k,
+                               exact=exact, n_valid=n_real)
+        idx = np.asarray(idx)
+        assert idx.max() < n_real, f"pad index surfaced (exact={exact})"
+        np.testing.assert_allclose(np.asarray(d), float(nbit))
+
+        d_st, i_st = retrieve_topk_streaming(jnp.asarray(q),
+                                             jnp.asarray(db, jnp.int8),
+                                             k=k, db_block=256, exact=exact,
+                                             n_valid=n_real)
+        assert np.asarray(i_st).max() < n_real
+        np.testing.assert_allclose(np.asarray(d_st), float(nbit))
+
+    # unmasked control: the pad rows DO win — the mask is load-bearing
+    _, idx_ctl = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k)
+    assert np.asarray(idx_ctl).min() >= n_real
+
+
+def test_exact_query_tail_padding(rng):
+    """Q > the 1024-query tile with a ragged tail: the tail tile is padded
+    by repeating a real query (not zeros) and the sliced result is still the
+    exact top-k for every real query."""
+    import jax.numpy as jnp
+
+    from concepthash_tpu.ops.retrieval import retrieve_topk
+
+    nbit, n_db, Q, k = 16, 512, 1030, 7
+    db = np.sign(rng.standard_normal((n_db, nbit))).astype(np.float32)
+    db[db == 0] = 1.0
+    q = np.sign(rng.standard_normal((Q, nbit))).astype(np.float32)
+    q[q == 0] = 1.0
+
+    d, idx = retrieve_topk(jnp.asarray(q), jnp.asarray(db), k=k, exact=True)
+    d, idx = np.asarray(d), np.asarray(idx)
+    assert d.shape == (Q, k)
+    full = 0.5 * (nbit - np.sign(q) @ db.T)
+    np.testing.assert_allclose(d, np.sort(full, axis=1)[:, :k])
+    np.testing.assert_allclose(np.take_along_axis(full, idx, axis=1), d)
+
+
 def test_nmi_matches_sklearn(rng):
     """normalized_mutual_info vs sklearn's normalized_mutual_info_score
     (arithmetic-mean normalization, the reference's pseudo-label metric —

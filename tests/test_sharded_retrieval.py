@@ -45,6 +45,31 @@ def test_sharded_gallery_padding(rng, mesh):
     assert db_sharded.shape[0] == 640
 
 
+def test_sharded_topk_n_valid_masks_pads(rng, mesh):
+    """shard_gallery pad rows (all-zero codes at distance nbit/2) must not
+    displace real entries or surface pad indices when n_valid is passed —
+    every real row sits at distance nbit, so unmasked pads would win."""
+    N, Q, nbit, k = 637, 4, 16, 5                     # pads 637 -> 640
+    db = np.full((N, nbit), -1.0, np.float32)
+    q = np.ones((Q, nbit), np.float32)
+
+    db_sharded, n_real = shard_gallery(db, mesh)
+    assert n_real == N
+    for exact in (False, True):
+        fn = make_sharded_topk(mesh, k=k, exact=exact, n_valid=n_real)
+        d, idx = fn(jnp.asarray(q), db_sharded)
+        assert np.asarray(idx).max() < N, f"pad index surfaced (exact={exact})"
+        np.testing.assert_allclose(np.asarray(d), float(nbit))
+
+    # streaming engine path: same contract
+    db_st, n_real = shard_gallery(db.astype(np.int8), mesh, streaming_block=20)
+    fn = make_sharded_topk(mesh, k=k, streaming_block=20, exact=True,
+                           n_valid=n_real)
+    d, idx = fn(jnp.asarray(q), db_st)
+    assert np.asarray(idx).max() < N
+    np.testing.assert_allclose(np.asarray(d), float(nbit))
+
+
 def test_map_with_sharded_db_matches(rng, mesh):
     N, Q, nbit = 64, 16, 16
     db = rng.standard_normal((N, nbit)).astype(np.float32)

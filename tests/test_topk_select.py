@@ -87,6 +87,29 @@ def test_certificate_fails_on_tie_floods(rng):
     assert not bool(valid)
 
 
+def test_minspass_n_valid_masks_pads(rng):
+    """Pad rows that are CLOSER than every real row (all-zero codes when the
+    queries are far from the whole real gallery) must be masked out by
+    n_valid on both the hierarchical and the dense-rescore branches."""
+    nbit, k, Q = 16, 4, 3
+    q = np.ones((Q, nbit), np.float32)
+    n_real = 2990
+    db = np.concatenate([np.full((n_real, nbit), -1.0, np.float32),
+                         np.zeros((10, nbit), np.float32)]).astype(np.int8)
+    # hierarchical branch (m > cap)
+    d, idx, valid = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db), k=k,
+                                        subblock=8, cap=64, interpret=True,
+                                        n_valid=n_real)
+    assert np.asarray(idx).max() < n_real
+    np.testing.assert_array_equal(np.asarray(d), float(nbit))
+    # dense branch (m <= cap)
+    d2, idx2, v2 = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db), k=k,
+                                       subblock=8, cap=512, interpret=True,
+                                       n_valid=n_real)
+    assert bool(v2) and np.asarray(idx2).max() < n_real
+    np.testing.assert_array_equal(np.asarray(d2), float(nbit))
+
+
 def test_streaming_exact_uses_minspass_and_matches(rng):
     """retrieve_topk_streaming(exact=True) (which routes through the fused
     mins pass + certificate fallback) equals the dense exact result."""
@@ -238,3 +261,11 @@ def test_exact_paths_fuzz_agree(rng):
                                       err_msg=f"streaming trial {trial}")
         np.testing.assert_array_equal(
             np.take_along_axis(distp, np.asarray(i3), 1), np.asarray(d3))
+
+        # n_valid masks the zero-code pad rows: result == top-k over the
+        # REAL rows only, no pad index ever surfaces
+        d4, i4 = retrieve_topk_streaming(jnp.asarray(q), packed, k=k,
+                                         db_block=blk, exact=True, n_valid=N)
+        np.testing.assert_array_equal(np.sort(np.asarray(d4), 1), ref,
+                                      err_msg=f"n_valid trial {trial}")
+        assert np.asarray(i4).max() < N
