@@ -31,7 +31,7 @@ from concepthash_tpu.train.state import (create_train_state, make_eval_step,
                                          make_multi_eval_step,
                                          make_multi_train_step, make_train_step)
 from concepthash_tpu.utils import io
-from concepthash_tpu.utils.logger import HistoryWriter, setup_logging
+from concepthash_tpu.utils.logger import HistoryWriter, Tracker, setup_logging
 from concepthash_tpu.utils.machine_stats import print_stats
 from concepthash_tpu.utils.meters import MeterBank
 
@@ -82,8 +82,14 @@ class RetrievalExperiment:
 
         self._load_data()
         self._build_method()
-        self.train_history = HistoryWriter(self.logdir, "train")
-        self.test_history = HistoryWriter(self.logdir, "test")
+        # config-gated event tracker behind the reference's `wandb:` key
+        # (train_helper.py:125-139; default off, configs/train.yaml:28) —
+        # local JSONL instead of the wandb service, see utils/logger.py
+        self.tracker = Tracker(config.get("wandb", False), self.logdir)
+        self.train_history = HistoryWriter(self.logdir, "train",
+                                           tracker=self.tracker)
+        self.test_history = HistoryWriter(self.logdir, "test",
+                                          tracker=self.tracker)
         self.best_metric = None
         self.start_epoch = 0
         if config.get("resume_logdir"):

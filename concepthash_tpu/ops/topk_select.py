@@ -245,6 +245,39 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
     return 0.5 * (nbit - gmax).astype(jnp.float32)
 
 
+# direct lax.top_k is cheap below this many subblock mins per row; above it
+# the hierarchical no-fallback selection + exact theta_next wins
+# (tests monkeypatch this to force the large-m branch on small inputs)
+_INNER_DIRECT_MAX = 32768
+
+
+def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int = 256):
+    """Indices of ~the kk smallest entries of each row of (Q, m) — a
+    superblock-min hierarchy with NO exactness fallback: ties at the
+    selection boundary may be missed. Callers MUST pair this with an exact
+    certificate (exact_topk_minspass recomputes theta_next over the true
+    unselected set; a missed small subblock shrinks theta_next and fails
+    the certificate instead of corrupting results).
+
+    Cost: one min-reduce pass over x (HBM bandwidth), a top_k over m/sub2,
+    and a top_k over ~cap2*sub2 gathered candidates — at m = 1.56M (the
+    100M-gallery point) ~3-4ms vs 116ms for an exact top_k over m.
+    """
+    Q, m = x.shape
+    cap2 = max(cap2, 2 * _cdiv(kk, sub2))
+    pad = (-m) % sub2
+    if pad:
+        x = jnp.concatenate([x, jnp.full((Q, pad), jnp.inf, x.dtype)], axis=1)
+    m2 = (m + pad) // sub2
+    cap2 = min(cap2, m2)
+    x3 = x.reshape(Q, m2, sub2)
+    mins2 = x3.min(axis=-1)                                   # (Q, m2)
+    _, si = jax.lax.top_k(-mins2, cap2)                       # superblocks
+    g = jnp.take_along_axis(x3, si[:, :, None], axis=1)       # (Q, cap2, S2)
+    _, li = jax.lax.top_k(-g.reshape(Q, cap2 * sub2), kk)
+    return (jnp.take_along_axis(si, li // sub2, axis=1) * sub2 + li % sub2)
+
+
 def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
                         cap: int | None = None, interpret: bool = False,
                         n_valid=None):
@@ -308,13 +341,30 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         mins_t = subblock_min_dists(qi, db_i8, subblock=subblock,
                                     interpret=interpret)    # (m_pad, Q)
     mins = mins_t[:m_real].T                                 # (Q, m) copy, small
-    # the cap+1 smallest subblock mins — itself hierarchical when m is
-    # large (100M gallery -> m = 1.56M); inner cap2 > cap+1 so the inner
-    # selection can return cap+1 candidates
-    mv, sel_all = exact_topk_blocked(mins, cap + 1, subblock=64,
-                                     cap=max(1024, 2 * (cap + 1)))
-    sel = sel_all[:, :cap]                                   # (Q, cap)
-    theta_next = mv[:, cap]
+    # Select the ~cap smallest subblock mins. The selection itself need NOT
+    # be exact — exactness rests entirely on theta_next being a true lower
+    # bound over the UNSELECTED subblocks plus the final certificate below
+    # (any entry outside the selected subblocks is >= its subblock min
+    # >= theta_next). Round 3 ran an exact inner selection here
+    # (exact_topk_blocked(mins, cap+1)); at 100M entries its own tie
+    # certificate failed on tie VOLUME and silently paid a full lax.top_k
+    # over (Q, 1.56M) = 116 of the 211ms call (probe_minspass, PARITY.md
+    # roadmap 3). Now: small m -> one direct top_k (exact theta for free);
+    # large m -> hierarchical selection WITHOUT a fallback plus an exact
+    # theta_next from a cap-sized scatter + one min-reduce pass — ties the
+    # inner cost to HBM bandwidth instead of sort throughput.
+    if m_real <= _INNER_DIRECT_MAX:
+        neg_mv, sel_all = jax.lax.top_k(-mins, cap + 1)
+        sel = sel_all[:, :cap]                               # (Q, cap)
+        theta_next = -neg_mv[:, cap]
+    else:
+        sel = _approx_smallest_rows(mins, cap)               # (Q, cap)
+        # mode="drop": an out-of-range index (possible only for inf pads)
+        # must NOT clip onto a real subblock — that would overstate
+        # theta_next and break the exactness certificate
+        masked = mins.at[jnp.arange(mins.shape[0])[:, None], sel].set(
+            jnp.inf, mode="drop")
+        theta_next = masked.min(axis=1)
 
     rows = (sel[:, :, None] * subblock
             + jnp.arange(subblock, dtype=sel.dtype)).reshape(Q, cap * subblock)

@@ -1,10 +1,15 @@
-"""Logging setup + experiment-history JSON writer.
+"""Logging setup + experiment-history JSON writer + optional event tracker.
 
 Mirrors the reference's ``utils.logger.setup_logging`` contract
 (reference experiments/train_helper.py:58) and the history-JSON persistence of
-train_helper.py:141-153. wandb is intentionally not wired (the reference
-hardcodes an API key at train_helper.py:133 — a hygiene bug we do not
-replicate; SURVEY.md §5.5). A no-op hook is kept for API parity.
+train_helper.py:141-153. The reference's wandb integration
+(train_helper.py:125-139) is replaced by ``Tracker``: the same config gate
+(``wandb:`` key, default off) but emitting local JSONL events instead of a
+network service. DEVIATION, documented: the reference hardcodes a wandb API
+key at train_helper.py:133 — a hygiene bug we do not replicate; no
+credential, no network, and the event stream (<logdir>/events.jsonl, one
+JSON object per line) is trivially importable into wandb/tensorboard
+offline.
 """
 
 from __future__ import annotations
@@ -32,12 +37,51 @@ def setup_logging(logfile: str | None = None, level=logging.INFO):
         root.addHandler(fh)
 
 
-def wandb_log(_d: dict):
-    """No-op hook kept for call-site parity (train_helper.py:19)."""
+class Tracker:
+    """Config-gated experiment-event emitter (reference ``wandb:`` surface,
+    train_helper.py:125-139, configs/train.yaml:28 default False).
+
+    ``cfg`` is the config's ``wandb`` value: falsy -> disabled (every call a
+    no-op); truthy -> append events to ``<logdir>/events.jsonl``. ``log``
+    accumulates fields into the pending event (wandb.log(commit=False)
+    semantics); ``commit`` writes it as one JSON line.
+    """
+
+    def __init__(self, cfg, logdir: str):
+        self.enabled = bool(cfg)
+        self.path = os.path.join(logdir, "events.jsonl")
+        self._pending: dict = {}
+        if self.enabled:
+            logging.info("tracker enabled -> %s", self.path)
+            global _active_tracker
+            _active_tracker = self
+
+    def log(self, d: dict):
+        if self.enabled:
+            self._pending.update(_to_jsonable(d))
+
+    def commit(self):
+        if self.enabled and self._pending:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(self._pending) + "\n")
+            self._pending = {}
+
+
+_active_tracker: Tracker | None = None
+
+
+def wandb_log(d: dict):
+    """Module-level hook kept for call-site parity (train_helper.py:19);
+    delegates to the active Tracker when one is enabled."""
+    if _active_tracker is not None:
+        _active_tracker.log(d)
 
 
 def wandb_commit():
-    """No-op hook kept for call-site parity."""
+    """Module-level hook kept for call-site parity."""
+    if _active_tracker is not None:
+        _active_tracker.commit()
 
 
 class HistoryWriter:
@@ -48,8 +92,10 @@ class HistoryWriter:
     file layout so downstream tooling works unchanged.
     """
 
-    def __init__(self, logdir: str, name: str):
+    def __init__(self, logdir: str, name: str, tracker: Tracker | None = None):
         self.path = os.path.join(logdir, f"{name}_history.json")
+        self.name = name
+        self.tracker = tracker
         self.history: list[dict] = []
 
     def load(self):
@@ -59,7 +105,12 @@ class HistoryWriter:
         return self.history
 
     def append(self, record: dict):
-        self.history.append(_to_jsonable(record))
+        rec = _to_jsonable(record)
+        self.history.append(rec)
+        if self.tracker is not None:
+            # wandb-style namespacing: train/loss, test/mAP, ...
+            self.tracker.log({f"{self.name}/{k}": v for k, v in rec.items()})
+            self.tracker.commit()
         self.save()
 
     def save(self):

@@ -10,6 +10,8 @@ finished manifests, the notebooks document how they were made).
     python scripts/prepare_dataset.py food101  <data_root>/data/food101
     python scripts/prepare_dataset.py nabirds  <data_root>/data/nabirds
     python scripts/prepare_dataset.py vegfru   <data_root>/data/vegfru
+    python scripts/prepare_dataset.py inat_birds <data_root>/data/inat_birds \
+        --prefix data/inat   # shipped manifests use the data/inat prefix
 
 Writes <out>/{train,test,database}.txt (one "<path> <int-label>" per line,
 paths relative to the data root, train == database) and class_names.txt.
@@ -28,6 +30,9 @@ Expected layouts:
   vegfru:   <out>/{veg200_images/, fru92_images/,
             veg200_lists/veg_{train,val,test}.txt,
             fru92_lists/fru_{train,val,test}.txt}
+  inat_birds: <out>/inat2021/{train,val}/
+            <id>_Animalia_Chordata_Aves_<Order>_<Family>_<Genus>_<species>/
+            *.jpg                            (iNat2021 layout, Aves dirs)
 """
 
 from __future__ import annotations
@@ -229,9 +234,63 @@ def prepare_vegfru(out: str, prefix: str) -> None:
            [names[i] for i in sorted(names)])
 
 
+def prepare_inat_birds(out: str, prefix: str) -> None:
+    """iNat2021 birds subset (reference data/inat_birds/ ships test.txt +
+    class_names.txt; train/database are missing-large-blobs there, per its
+    .MISSING_LARGE_BLOBS note). Recipe reverse-derived from the shipped
+    artifacts: keep the Aves class directories of the iNat2021 competition
+    layout; label = rank of the class DIRECTORY name sorted ascending
+    (equivalently the iNat category-id order — the id prefix sorts with the
+    taxonomy string); class name = the binomial (last two directory tokens,
+    lowercased, space-joined) in that same order. Verified against the
+    shipped files across ALL 14,860 test.txt rows: dir-sorted rank == label
+    and class_names.txt line == binomial (tests/test_prepare_dataset.py).
+    train/ -> train.txt + database.txt, val/ -> test.txt (14,860 = 1486x10
+    in the shipped manifest — the full val split).
+
+    Layout: <out>/inat2021/{train,val}/<id>_Animalia_Chordata_Aves_<...>_
+    <Genus>_<species>/*.jpg. The shipped manifests use path prefix
+    'data/inat' (configs/dataset root joins it), so run with
+    --prefix data/inat for reference-identical lines; file ordering within
+    a split is ours (sorted) — the shipped test.txt order is shuffled and
+    not reproducible from the data alone.
+    """
+    root = os.path.join(out, "inat2021")
+
+    def bird_dirs(split):
+        d = os.path.join(root, split)
+        if not os.path.isdir(d):
+            return []
+        return sorted(e for e in os.listdir(d) if "_Aves_" in e)
+
+    def binomial(dirname: str) -> str:
+        toks = dirname.split("_")
+        return f"{toks[-2]} {toks[-1]}".lower()
+
+    dirs = sorted({d for split in ("train", "val") for d in bird_dirs(split)})
+    index = {d: i for i, d in enumerate(dirs)}
+    names = [binomial(d) for d in dirs]
+
+    def manifest(split):
+        res = []
+        for cls_dir in bird_dirs(split):
+            label = index[cls_dir]
+            d = os.path.join(root, split, cls_dir)
+            for fn in sorted(os.listdir(d)):
+                res.append(f"{prefix}/inat2021/{split}/{cls_dir}/{fn} {label}")
+        return res
+
+    train = manifest("train")
+    _write(os.path.join(out, "train.txt"), train)
+    _write(os.path.join(out, "database.txt"), train)
+    _write(os.path.join(out, "test.txt"), manifest("val"))
+    _write(os.path.join(out, "class_names.txt"), names)
+
+
 PREPARERS = {"cub200": prepare_cub200, "cars196": prepare_cars196,
              "aircraft": prepare_aircraft, "food101": prepare_food101,
-             "nabirds": prepare_nabirds, "vegfru": prepare_vegfru}
+             "nabirds": prepare_nabirds, "vegfru": prepare_vegfru,
+             "inat_birds": prepare_inat_birds}
 
 
 def main():

@@ -22,6 +22,18 @@ deterministic offline embedder, loudly logged) so the runbook itself stays
 continuously tested in zero-egress rounds:
 
     python scripts/runbook_pretrained.py --smoke
+
+Smoke artifacts go to logs/baseline_fill_smoke/smoke_* and
+BASELINE_SMOKE_RESULTS.json — NEVER into the real baseline_fill tree (the
+runs use dataset=synthetic; VERDICT r3 weak-5).
+
+IDEMPOTENT per run (VERDICT r3 item 3): a tag already recorded in the
+results JSON is skipped; a run directory holding models/last.msgpack but no
+recorded result is RESUMED from its last checkpoint (resume_logdir) instead
+of restarting epoch 0 — kill-and-rerun converges (rehearsed in
+tests/test_runbook.py). At startup the runbook probes for an HF cache mount
+(HF_HOME / ~/.cache/huggingface) and auto-skips the network fetch when the
+CLIP snapshot is already present.
 """
 
 from __future__ import annotations
@@ -55,7 +67,24 @@ SMOKE_OVERRIDES = [
 ]
 
 
-def main():
+def hf_cache_available(model_id: str = "openai/clip-vit-base-patch32") -> bool:
+    """True when an HF cache mount already holds the CLIP snapshot (then the
+    network fetch step is unnecessary and is skipped automatically)."""
+    bases = [os.environ.get("HF_HOME"),
+             os.environ.get("HUGGINGFACE_HUB_CACHE"),
+             os.path.expanduser("~/.cache/huggingface")]
+    sub = f"models--{model_id.replace('/', '--')}"
+    for b in bases:
+        if not b:
+            continue
+        for hub in (os.path.join(b, "hub"), b):
+            snap = os.path.join(hub, sub, "snapshots")
+            if os.path.isdir(snap) and os.listdir(snap):
+                return True
+    return False
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default=".",
                     help="directory containing data/<dataset>/ manifests")
@@ -64,19 +93,38 @@ def main():
                          "random-init tiny checkpoint, 1 epoch")
     ap.add_argument("--skip-fetch", action="store_true",
                     help="weights already cached: skip the network step")
-    ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "BASELINE_RESULTS.json"))
-    args = ap.parse_args()
+    ap.add_argument("--force", action="store_true",
+                    help="re-run tags even if already recorded in --out")
+    ap.add_argument("--out", default=None,
+                    help="results JSON (default BASELINE_RESULTS.json; "
+                         "smoke mode uses BASELINE_SMOKE_RESULTS.json)")
+    ap.add_argument("--smoke-data-root", default=None,
+                    help="(smoke) reuse an existing synthetic fixture dir — "
+                         "lets a rehearsal kill-and-rerun the same runs")
+    ap.add_argument("--tags", default=None,
+                    help="comma-separated subset of run tags to execute")
+    args = ap.parse_args(argv)
+    out = args.out or os.path.join(
+        REPO, "BASELINE_SMOKE_RESULTS.json" if args.smoke
+        else "BASELINE_RESULTS.json")
 
     if args.smoke:
         import tempfile
 
         from concepthash_tpu.data.synthetic import make_synthetic_dataset
 
-        data_root = tempfile.mkdtemp(prefix="runbook_smoke_")
-        make_synthetic_dataset(os.path.join(data_root, "data", "synthetic"))
+        data_root = args.smoke_data_root or tempfile.mkdtemp(
+            prefix="runbook_smoke_")
+        if not os.path.exists(os.path.join(data_root, "data", "synthetic",
+                                           "train.txt")):
+            make_synthetic_dataset(os.path.join(data_root, "data",
+                                                "synthetic"))
     else:
         data_root = os.path.abspath(args.data_root)
+        if hf_cache_available():
+            print("HF cache mount detected: skipping network fetch",
+                  flush=True)
+            args.skip_fetch = True
         if not args.skip_fetch:
             # 1. fetch + port parity check — hard-fails before any training
             subprocess.run([sys.executable,
@@ -88,17 +136,32 @@ def main():
     cb_path = None
     if not args.smoke:
         cub = os.path.join(data_root, "data", "cub200_2011")
-        subprocess.run([sys.executable,
-                        os.path.join(HERE, "fetch_pretrained.py"),
-                        "--codebook", cub], check=True, cwd=REPO)
         cb_path = os.path.join(cub, "language_codebook.npy")
+        if not os.path.exists(cb_path):  # idempotent: reuse a finished one
+            subprocess.run([sys.executable,
+                            os.path.join(HERE, "fetch_pretrained.py"),
+                            "--codebook", cub], check=True, cwd=REPO)
 
-    # 3+4. the BASELINE runs, results collected as they finish
+    # 3+4. the BASELINE runs, results collected as they finish. Idempotent:
+    # recorded tags are skipped; a dead run with a last checkpoint resumes.
     import main as cli
 
     results = {}
+    if os.path.exists(out) and not args.force:
+        with open(out) as f:
+            results = json.load(f)
+    fill_dir = "baseline_fill_smoke" if args.smoke else "baseline_fill"
+    wanted = set(args.tags.split(",")) if args.tags else None
     for tag, overrides in RUNS:
-        logdir = os.path.join(REPO, "logs", "baseline_fill", tag)
+        if wanted is not None and tag not in wanted:
+            continue
+        run_name = f"smoke_{tag}" if args.smoke else tag
+        if results.get(run_name, {}).get("best_mAP") is not None:
+            print(f"== {run_name}: already recorded "
+                  f"(mAP {results[run_name]['best_mAP']:.4f}) — skipping",
+                  flush=True)
+            continue
+        logdir = os.path.join(REPO, "logs", fill_dir, run_name)
         ov = list(overrides)
         if args.smoke:
             ov = [o for o in ov if not o.startswith("dataset=")]
@@ -111,18 +174,23 @@ def main():
                 ov += ["model.fixed_center.codebook_method=file",
                        f"model.fixed_center.path={cb_path}",
                        "model.fixed_center.quantized=false"]
+        if os.path.exists(os.path.join(logdir, "models", "last.msgpack")):
+            print(f"== {run_name}: resuming from {logdir}", flush=True)
+            ov += [f"resume_logdir={logdir}"]
         ov += [f"data_dir={data_root}", f"logdir={logdir}"]
-        print(f"== {tag}: main.py {' '.join(ov)}", flush=True)
+        print(f"== {run_name}: main.py {' '.join(ov)}", flush=True)
         best = cli.main(ov)
-        results[tag] = {"best_mAP": best, "overrides": ov}
-        with open(args.out, "w") as f:
+        results[run_name] = {"best_mAP": best, "overrides": ov}
+        with open(out, "w") as f:
             json.dump(results, f, indent=2)
 
-    print(f"\nwrote {args.out}")
+    print(f"\nwrote {out}")
     print("| run | best mAP |")
     print("|---|---|")
     for tag, r in results.items():
-        print(f"| {tag} | {r['best_mAP']:.4f} |")
+        m = r.get("best_mAP")
+        print(f"| {tag} | {m:.4f} |" if m is not None else f"| {tag} | — |")
+    return results
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def trained_run(workdir):
         "optim=sgd", "model.nbit=16", "model.text_projection_dims=[32]",
         "batch_size=8", "epochs=2", "eval_interval=1",
         f"data_dir={workdir}", f"logdir={logdir}", "seed=7",
-        "scheduler.warmup_epochs=1",
+        "scheduler.warmup_epochs=1", "wandb=true",
     ])
     return logdir, best
 
@@ -56,6 +56,12 @@ def test_train_produces_artifacts(trained_run):
         thist = json.load(f)
     assert thist[-1]["mAP"] == pytest.approx(best) or thist[0]["mAP"] == pytest.approx(best)
     assert len(thist[-1]["recalls"]) == 3
+    # wandb=true gates the JSONL event tracker (reference wandb surface,
+    # train_helper.py:125-139 — local emitter, no credentials)
+    with open(os.path.join(logdir, "events.jsonl")) as f:
+        events = [json.loads(l) for l in f]
+    assert any("train/loss" in e for e in events)
+    assert any("test/mAP" in e for e in events)
 
 
 def test_validation_mode_reloads_config(trained_run, workdir):
@@ -69,6 +75,23 @@ def test_validation_mode_reloads_config(trained_run, workdir):
     assert os.path.exists(os.path.join(eval_dir, "history.json"))
     # best-checkpoint mAP should reproduce the training-time best
     assert res["mAP"] == pytest.approx(best, abs=0.02)
+
+
+def test_validation_list_R(trained_run, workdir):
+    """R as a LIST (reference inat_birds eval semantics: R=1000, and the
+    calculate_mAP list-R contract, SURVEY.md §2.6) through the CLI: one mAP
+    per cutoff, persisted to history.json."""
+    logdir, _ = trained_run
+    eval_dir = os.path.join(workdir, "eval_listR")
+    res = run_main([
+        "exp=validation", f"logdir={logdir}", f"data_dir={workdir}",
+        f"eval_logdir={eval_dir}", "batch_size=8", "R=[1,5]",
+    ])
+    assert isinstance(res["mAP"], list) and len(res["mAP"]) == 2
+    assert all(0.0 <= m <= 1.0 for m in res["mAP"])
+    with open(os.path.join(eval_dir, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist["mAP"]) == 2
 
 
 def test_validation_sub_code_and_self_retrieval(trained_run, workdir):

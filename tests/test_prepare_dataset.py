@@ -163,6 +163,58 @@ def test_nabirds_manifests(tmp_path):
         "Alder Flycatcher", "Acadian Flycatcher"]
 
 
+def test_inat_birds_manifests(tmp_path):
+    """Labels are the alphabetical rank of the binomial name (verified
+    against the reference's shipped test.txt/class_names.txt pairing);
+    non-Aves directories are skipped; train == database; val -> test."""
+    out = tmp_path / "inat_birds"
+    tr = out / "inat2021" / "train"
+    va = out / "inat2021" / "val"
+    d1 = "03938_Animalia_Chordata_Aves_Passeriformes_Meliphagidae_Ptilotula_penicillata"
+    d2 = "00001_Animalia_Chordata_Aves_Accipitriformes_Accipitridae_Accipiter_badius"
+    d3 = "09999_Animalia_Chordata_Mammalia_Carnivora_Felidae_Felis_catus"  # not a bird
+    for split_dir, imgs in ((tr / d1, ["x1.jpg"]), (tr / d2, ["y2.jpg", "y1.jpg"]),
+                            (tr / d3, ["z.jpg"]), (va / d1, ["v1.jpg"])):
+        split_dir.mkdir(parents=True)
+        for fn in imgs:
+            (split_dir / fn).touch()
+
+    prep.prepare_inat_birds(str(out), "data/inat")
+    train = _read(os.path.join(str(out), "train.txt"))
+    # dirs sorted by id-prefix; files sorted; accipiter badius < ptilotula
+    assert train == [
+        f"data/inat/inat2021/train/{d2}/y1.jpg 0",
+        f"data/inat/inat2021/train/{d2}/y2.jpg 0",
+        f"data/inat/inat2021/train/{d1}/x1.jpg 1"]
+    assert _read(os.path.join(str(out), "database.txt")) == train
+    assert _read(os.path.join(str(out), "test.txt")) == [
+        f"data/inat/inat2021/val/{d1}/v1.jpg 1"]
+    assert _read(os.path.join(str(out), "class_names.txt")) == [
+        "accipiter badius", "ptilotula penicillata"]
+
+
+def test_inat_recipe_matches_shipped_reference():
+    """The label rule reproduces the reference's shipped artifacts on every
+    one of its 14,860 test.txt rows: label == rank of the class directory
+    name sorted ascending, and class_names.txt line == its binomial."""
+    ref = "/root/reference/data/inat_birds"
+    if not os.path.exists(os.path.join(ref, "test.txt")):
+        pytest.skip("reference inat assets unavailable")
+    with open(os.path.join(ref, "class_names.txt")) as f:
+        names = [l.strip() for l in f if l.strip()]
+    assert len(names) == 1486
+    d2l = {}
+    with open(os.path.join(ref, "test.txt")) as f:
+        for line in f:
+            path, label = line.rsplit(" ", 1)
+            d2l[path.split("/")[-2]] = int(label)
+    assert len(d2l) == 1486
+    for rank, d in enumerate(sorted(d2l)):
+        assert d2l[d] == rank
+        toks = d.split("_")
+        assert names[rank] == f"{toks[-2]} {toks[-1]}".lower()
+
+
 def test_vegfru_manifests(tmp_path):
     out = tmp_path / "vegfru"
     (out / "veg200_lists").mkdir(parents=True)

@@ -87,6 +87,71 @@ def test_certificate_fails_on_tie_floods(rng):
     assert not bool(valid)
 
 
+def test_minspass_large_m_branch_matches_oracle(rng, monkeypatch):
+    """The large-m inner selection (hierarchical, no fallback, exact
+    theta_next via scatter+min) — forced by shrinking _INNER_DIRECT_MAX —
+    returns the exact top-k whenever its certificate passes, and the
+    certificate must FAIL (never lie) on tie floods."""
+    import concepthash_tpu.ops.topk_select as ts
+
+    monkeypatch.setattr(ts, "_INNER_DIRECT_MAX", 16)
+    nbit, k, Q, N = 64, 5, 6, 3000            # m = 375 >> 16 -> approx branch
+    q = _signs(rng, Q, nbit)
+    db = _signs(rng, N, nbit).astype(np.int8)
+    d, idx, valid = ts.exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                           k=k, subblock=8, cap=64,
+                                           interpret=True)
+    dist = _oracle_dist(q, db.astype(np.float32))
+    if bool(valid):
+        np.testing.assert_array_equal(np.asarray(d), np.sort(dist, 1)[:, :k])
+    np.testing.assert_array_equal(
+        np.take_along_axis(dist, np.asarray(idx), axis=1), np.asarray(d))
+
+    # tie flood: every distance identical -> certificate must fail
+    db2 = np.tile(_signs(rng, 1, nbit), (3000, 1)).astype(np.int8)
+    _, _, v2 = ts.exact_topk_minspass(jnp.asarray(q), jnp.asarray(db2),
+                                      k=k, subblock=8, cap=64, interpret=True)
+    assert not bool(v2)
+
+    # fuzz across tie regimes on the forced branch
+    for trial in range(4):
+        if trial % 2:
+            base = _signs(rng, 40, nbit)
+            dbf = base[rng.integers(0, 40, 2500)].astype(np.int8)
+        else:
+            dbf = _signs(rng, 2500, nbit).astype(np.int8)
+        d, idx, valid = ts.exact_topk_minspass(jnp.asarray(q),
+                                               jnp.asarray(dbf), k=7,
+                                               subblock=8, cap=32,
+                                               interpret=True)
+        distf = _oracle_dist(q, dbf.astype(np.float32))
+        if bool(valid):
+            np.testing.assert_array_equal(np.asarray(d),
+                                          np.sort(distf, 1)[:, :7],
+                                          err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(
+            np.take_along_axis(distf, np.asarray(idx), axis=1),
+            np.asarray(d))
+
+
+def test_approx_smallest_rows_coverage_guarantee(rng):
+    """The i-th smallest value is ALWAYS selected for i <= cap2: values
+    #1..#i-1 occupy < cap2 superblocks, so #i's superblock (min <= value_i)
+    ranks within the top cap2 — the guarantee the exactness certificate in
+    exact_topk_minspass leans on. Indices are unique and in range."""
+    from concepthash_tpu.ops.topk_select import _approx_smallest_rows
+
+    x = rng.standard_normal((5, 1000)).astype(np.float32)
+    idx = np.asarray(_approx_smallest_rows(jnp.asarray(x), 20, sub2=8,
+                                           cap2=16))
+    assert idx.shape == (5, 20)
+    for q in range(5):
+        assert len(set(idx[q])) == 20 and idx[q].min() >= 0 \
+            and idx[q].max() < 1000
+        smallest16 = set(np.argsort(x[q])[:16])
+        assert smallest16 <= set(idx[q])
+
+
 def test_minspass_n_valid_masks_pads(rng):
     """Pad rows that are CLOSER than every real row (all-zero codes when the
     queries are far from the whole real gallery) must be masked out by
