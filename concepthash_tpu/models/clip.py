@@ -12,9 +12,11 @@ design:
     materializes all 12 L×L attention tensors every step; here it is opt-in);
   - extra (concept) tokens are a first-class input to the tower rather than a
     monkey-patched embeddings module;
-  - position-embedding resizing for non-native resolutions uses
-    jax.image bicubic (note: PyTorch bicubic uses a=-0.75, jax uses Keys
-    a=-0.5; only exercised at non-default input sizes).
+  - position-embedding resizing for non-native resolutions replays torch
+    F.interpolate(mode='bicubic') EXACTLY (a=-0.75 kernel via trace-time
+    interpolation matrices, _torch_bicubic_matrix — jax.image's Keys a=-0.5
+    would drift); parity vs torch is pinned at 448² in
+    tests/test_clip_port.py.
 
 Weight porting from HF checkpoints lives in ``clip_loader.py`` with per-layer
 activation-parity tests (tests/test_clip_port.py).
