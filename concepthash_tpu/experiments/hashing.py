@@ -762,7 +762,11 @@ class RetrievalExperiment:
                 sub_pos.append(batch["index"][:n])
             U = np.concatenate(us)
             sub_pos = np.concatenate(sub_pos)  # positions within omega
-            V = np.asarray(solve_dcc(jnp.asarray(V), jnp.asarray(np.sign(U)),
+            # DCC consumes the CONTINUOUS tanh codes (reference
+            # trainers/adsh.py:170-173 passes self.U unsigned — magnitude
+            # carries confidence into the bit updates; signing first lost
+            # it and contributed to the round-3 multiseed collapse)
+            V = np.asarray(solve_dcc(jnp.asarray(V), jnp.asarray(U),
                                      jnp.asarray(S_full[sub_pos]),
                                      jnp.asarray(omega[sub_pos]), gamma, nbit))
             res = meters.materialize()

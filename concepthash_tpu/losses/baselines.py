@@ -252,7 +252,16 @@ def ce_loss(outputs, onehot, multiclass: bool = False, margin: float = 0.0,
 
 def adsh_loss(outputs, batch_codes_targets, gamma: float = 200.0, nbit: int = 64,
               apply_tanh: bool = True, **_):
-    """(u V^T - nbit S)^2 + gamma ||u - V_omega||^2 where V = stored db codes.
+    """(nbit S - u V^T)^2 + gamma ||u - V_omega||^2 where V = stored db codes.
+
+    Normalization matches the reference's EXECUTABLE criterion exactly —
+    models/loss/semicon.py:20-21 (both sums / (B*N) * 12/nbit, quan further
+    scaled by gamma/nbit... i.e. gamma's effective weight is gamma*12/N):
+    the ADSH/SEMICON trainers both call that 4-arg form (the 5-arg
+    models/loss/adsh.py variant is dead code upstream — its trainer call
+    site passes 4 args, trainers/adsh.py:106). Round-3 used per-term means,
+    which over-weighted quantization by ~N/nbit and collapsed one multiseed
+    seed (RESULTS_MULTISEED adsh history).
 
     ``batch_codes_targets`` = dict(S=(B, Ntrain) soft similarity, V=(Ntrain,
     nbit) db codes, V_omega=(B, nbit) stored codes of this batch's items).
@@ -262,8 +271,9 @@ def adsh_loss(outputs, batch_codes_targets, gamma: float = 200.0, nbit: int = 64
     S = batch_codes_targets["S"]
     V = batch_codes_targets["V"]
     V_omega = batch_codes_targets["V_omega"]
-    hash_loss = ((u @ V.T - nbit * S) ** 2).mean()
-    quan = gamma * ((u - V_omega) ** 2).mean()
+    denom = u.shape[0] * V.shape[0]
+    hash_loss = ((nbit * S - u @ V.T) ** 2).sum() / denom / nbit * 12
+    quan = ((u - V_omega) ** 2).sum() / denom * gamma / nbit * 12
     return hash_loss + quan, {"hash": hash_loss, "quan": quan}
 
 

@@ -27,7 +27,8 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 METHODS = ["ce", "orthohash", "csq", "concepthash", "dpn", "hashnet",
-           "dtsh", "greedyhash", "a2net_ce", "semicon_ce", "concepthash_sa"]
+           "dtsh", "greedyhash", "a2net_ce", "semicon_ce", "concepthash_sa",
+           "adsh"]
 
 
 def asset_stamp() -> str:

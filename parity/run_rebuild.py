@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dtsh", "greedyhash",
-                             "a2net_ce", "semicon_ce", "concepthash_sa"])
+                             "a2net_ce", "semicon_ce", "concepthash_sa",
+                             "adsh", "semicon"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
@@ -47,7 +48,8 @@ def main():
                    "greedyhash": "sgh_adapter",
                    "a2net_ce": "a2net_ce_adapter",
                    "semicon_ce": "semicon_ce_adapter",
-                   "concepthash_sa": "concepthash_sa"}[args.method]
+                   "concepthash_sa": "concepthash_sa",
+                   "adsh": "adsh", "semicon": "semicon"}[args.method]
 
     overrides = [
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
@@ -84,6 +86,9 @@ def main():
             "criterion.codebook.codebook_method=file",
             f"criterion.codebook.path={assets}/codebook_B.npy",
         ]
+    elif args.method in ("adsh", "semicon"):
+        # match run_reference's adsh-regime method_params
+        overrides += ["criterion.num_samples=48", "criterion.max_iters=3"]
 
     sys.path.insert(0, REPO)
     import main as cli

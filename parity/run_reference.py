@@ -187,6 +187,43 @@ def _model_block(method: str, assets: str, clip_dir: str):
                           "multiclass": False, "gamma": 0.001,
                           "loss_method": "ce"},
         }
+    if method == "adsh":
+        # No adsh model config exists upstream (SURVEY §2.4 "ADSH (no
+        # config)"); composed from the semicon_adapter method_params shape.
+        # UPSTREAM BUG, FIXED BY COMPOSITION (VERDICT r3 item 4):
+        # trainers/adsh.py:106 calls criterion(codes, B, S[index], map_index)
+        # — 4 args — but models/loss/adsh.py ADSHLoss.forward takes 5
+        # (u, db_v, y, db_y, ind), so upstream ADSH cannot execute as
+        # shipped. The trainer's call matches models.loss.semicon.ADSHLoss
+        # (forward(F, B, S, omega) — the same asymmetric objective, used by
+        # the SEMICON trainers); compose with that criterion instead of
+        # monkeypatching.
+        return {
+            "model": {"_target_": "models.arch.adsh.ADSH",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.adsh.ADSHTrainer"},
+            "criterion": {"_target_": "models.loss.semicon.ADSHLoss",
+                          "nbit": NBIT, "gamma": 200},
+            "method_params": {"num_samples": 48, "inner_epochs": 3},
+        }
+    if method == "semicon":
+        # configs/model/semicon_adapter.yaml (SEM attention-erasing ViT
+        # variant under the same alternating-opt loop; its criterion is the
+        # 4-arg models.loss.semicon.ADSHLoss, consistent as shipped)
+        return {
+            "model": {"_target_": "models.arch.semicon.SEMICONWithAdapter",
+                      "backbone": {"_target_": "parity_assets.clip_vision_tiny",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nattns": 4, "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.semicon.SEMICONTrainer"},
+            "criterion": {"_target_": "models.loss.semicon.ADSHLoss",
+                          "nbit": NBIT, "gamma": 200},
+            "method_params": {"num_samples": 48, "inner_epochs": 3},
+        }
     if method == "concepthash_sa":
         # concepthash + SelfAttention-at-last (coop.py:20-177). mask_sigma=0
         # on both sides: the Gaussian-mask branch deviates deliberately (the
@@ -271,7 +308,8 @@ def main():
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dtsh", "greedyhash",
-                             "a2net_ce", "semicon_ce", "concepthash_sa"])
+                             "a2net_ce", "semicon_ce", "concepthash_sa",
+                             "adsh", "semicon"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
