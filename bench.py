@@ -6,7 +6,7 @@ Prints the result JSON line INCREMENTALLY: after each measurement stage the
 full result-so-far is re-printed as one JSON line to stdout (the LAST line is
 always the most complete; every line is independently parseable and carries
 the headline metric/value/vs_baseline fields). Stages are gated by a wall
-budget — `BENCH_BUDGET_S` env, default 1200 — with per-stage cost estimates:
+budget — `BENCH_BUDGET_S` env, default 1100 — with per-stage cost estimates:
 when the remaining budget can't cover a stage it is SKIPPED (its fields stay
 null) instead of risking the whole process timing out with nothing printed
 (round 3 lost every number that way, VERDICT r3 weak-1). A SIGALRM backstop
@@ -453,7 +453,7 @@ def main():
     args = ap.parse_args()
 
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
     import jax
     import jax.numpy as jnp

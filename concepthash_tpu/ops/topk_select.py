@@ -251,19 +251,30 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
 _INNER_DIRECT_MAX = 32768
 
 
-def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int = 256):
+def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None):
     """Indices of ~the kk smallest entries of each row of (Q, m) — a
     superblock-min hierarchy with NO exactness fallback: ties at the
     selection boundary may be missed. Callers MUST pair this with an exact
     certificate (exact_topk_minspass recomputes theta_next over the true
-    unselected set; a missed small subblock shrinks theta_next and fails
-    the certificate instead of corrupting results).
+    unselected set; a missed small value shrinks theta_next and fails the
+    certificate instead of corrupting results).
+
+    With the default cap2 = kk the selection is certificate-equivalent to
+    an exact inner top_k: let B be the kk-th smallest value; there are
+    < kk values strictly below B, so every superblock whose min is < B is
+    among the kk smallest superblock mins and gets selected — all values
+    < B are gathered, every unselected entry is >= B, and theta_next
+    computed over the unselected set equals the exact selection's
+    (kk+1)-th-min theta. (A smaller cap2 can miss boundary values and only
+    costs fallbacks, never correctness.)
 
     Cost: one min-reduce pass over x (HBM bandwidth), a top_k over m/sub2,
-    and a top_k over ~cap2*sub2 gathered candidates — at m = 1.56M (the
-    100M-gallery point) ~3-4ms vs 116ms for an exact top_k over m.
+    and a top_k over kk*sub2 gathered candidates — at m = 1.56M, kk = 1024
+    (the 100M-gallery point) ~10ms vs 116ms for an exact top_k over m.
     """
     Q, m = x.shape
+    if cap2 is None:
+        cap2 = kk
     cap2 = max(cap2, 2 * _cdiv(kk, sub2))
     pad = (-m) % sub2
     if pad:
