@@ -9,8 +9,13 @@ the headline metric/value/vs_baseline fields). Stages are gated by a wall
 budget — `BENCH_BUDGET_S` env, default 1100 — with per-stage cost estimates:
 when the remaining budget can't cover a stage it is SKIPPED (its fields stay
 null) instead of risking the whole process timing out with nothing printed
-(round 3 lost every number that way, VERDICT r3 weak-1). A SIGALRM backstop
-at budget+90s force-emits and exits 0 even if a stage hangs on the relay.
+(round 3 lost every number that way, VERDICT r3 weak-1). Hang defenses, in
+order: (1) first device contact happens in a killable SUBPROCESS probe — a
+hung relay degrades the run to CPU smoke scale (tpu_relay_down=true) rather
+than hanging it; (2) a watchdog THREAD force-emits and exits 0 at budget+90s
+even if a later stage hangs inside the relay's C RPC (where SIGALRM's Python
+handler can never run — observed in the r4 rehearsal); (3) SIGALRM at
+budget+120s for pure-Python stalls.
 
 vs_baseline DEFINITION (pinned since r02 — do not change without renaming the
 field): device qps / cpu_numpy_qps_1core, where the denominator is the same
@@ -447,6 +452,24 @@ def measure_recall_at_k(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     return hit / (len(d_exact) * topk)
 
 
+def probe_tpu_alive(timeout_s: float) -> bool:
+    """Run a trivial device program in a KILLABLE subprocess. The relay hang
+    mode (BENCH_r03, r4 rehearsal) blocks the calling thread inside a C RPC
+    with no Python frames — un-interruptable by SIGALRM — so the only safe
+    first contact is from a process we can kill from outside."""
+    import subprocess
+
+    code = ("import jax\n"
+            "x = jax.numpy.ones((128, 128))\n"
+            "print('BACKEND=' + jax.default_backend(), float((x @ x).sum()))\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return p.returncode == 0 and "BACKEND=tpu" in p.stdout
+    except Exception:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -455,11 +478,17 @@ def main():
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
-    import jax
-    import jax.numpy as jnp
+    # First contact with the accelerator happens in a killable subprocess;
+    # a hung relay therefore costs probe_timeout seconds, not the round.
+    # (Backend init — even jax.default_backend() — blocks un-interruptably
+    # inside the relay's C RPC when the relay is hung, so it must not run
+    # before the watchdog below is armed.)
+    relay_down = not probe_tpu_alive(
+        float(os.environ.get("BENCH_PROBE_TIMEOUT_S",
+                             "60" if args.smoke else "150")))
 
-    backend = jax.default_backend()
-    if args.smoke:
+    tiny = args.smoke or relay_down
+    if tiny:
         n_db, n_q, cpu_db = 20_000, 256, 20_000
         batch = 16
     else:
@@ -471,7 +500,7 @@ def main():
         "value": None,
         "unit": "queries/s",
         "vs_baseline": None,
-        "backend": backend,
+        "backend": None,
         "exact_topk_qps": None,
         # exact serving at 10M entries: Pallas fused mins kernel + packed
         # gallery (ops/topk_select.py; 100M point in PARITY.md)
@@ -482,7 +511,8 @@ def main():
         "train_img_per_s": None,
         "train_img_per_s_single_dispatch": None,
         "train_img_per_s_b1024": None,
-        "train_chunk": 4 if args.smoke else 16,
+        "train_chunk": 4 if tiny else 16,
+        "tpu_relay_down": relay_down,
         # approx_min_k serving tradeoff (headline qps is the approximate
         # path; exact_topk_qps is the deterministic one)
         "recall_at_100": None,
@@ -500,10 +530,34 @@ def main():
     }
 
     def emit():
-        print(json.dumps(result), flush=True)
+        # snapshot before serializing: the watchdog thread emits concurrently
+        # with stage code appending to skipped_stages
+        snap = {**result, "skipped_stages": list(result["skipped_stages"])}
+        print(json.dumps(snap), flush=True)
 
-    # SIGALRM backstop: even a stage that hangs inside the TPU relay cannot
-    # take the whole process past the budget with nothing printed
+    emit()  # a parseable (all-null) record exists before any backend touch
+
+    # Watchdog THREAD backstop at budget+90s. A thread, not SIGALRM: when the
+    # main thread hangs inside the relay's C RPC there are no Python frames,
+    # so a signal handler never runs — but other threads keep executing
+    # (the RPC wait releases the GIL), and os._exit needs no cooperation.
+    import threading
+
+    def _watchdog():  # pragma: no cover - last-resort path
+        deadline = budget + 90
+        while True:
+            left = deadline - (time.perf_counter() - t_start)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        result["skipped_stages"].append("WATCHDOG_FIRED")
+        emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # SIGALRM kept as a second line of defense for pure-Python stalls
     import signal
 
     def _alarm(signum, frame):  # pragma: no cover - last-resort path
@@ -513,13 +567,26 @@ def main():
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(budget) + 90)
+    signal.alarm(int(budget) + 120)
+
+    # Backend init only AFTER the watchdog is armed (see probe_tpu_alive).
+    import jax
+
+    if relay_down:
+        # Parseable CPU-smoke record beats an empty BENCH_rNN.json.
+        jax.config.update("jax_platforms", "cpu")
+        print("no live TPU backend — falling back to CPU smoke scale",
+              file=sys.stderr)
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    result["backend"] = backend
 
     def stage(name: str, est_s: float, fn) -> bool:
         """Run one measurement stage if the remaining budget covers its
         estimated cost; record a skip otherwise. Failures never propagate."""
         left = budget - (time.perf_counter() - t_start)
-        if left < (est_s if not args.smoke else min(est_s, 30.0)):
+        if left < (est_s if not tiny else min(est_s, 30.0)):
             print(f"skip {name}: {left:.0f}s left < ~{est_s:.0f}s",
                   file=sys.stderr)
             result["skipped_stages"].append(name)
@@ -558,7 +625,7 @@ def main():
     stage("exact_topk", 120, _exact)
 
     def _serving_10m():
-        if backend == "tpu" and not args.smoke:
+        if backend == "tpu" and not tiny:
             result["serving_exact_10m_qps_packed"] = round(
                 bench_serving_exact_packed(jnp, jax, 10_000_000, 256), 1)
 
@@ -567,16 +634,16 @@ def main():
 
     def _encode():
         result["encode_img_per_s"] = round(
-            bench_encode(jax, jnp, batch, tiny=args.smoke), 1)
+            bench_encode(jax, jnp, batch, tiny=tiny), 1)
 
     def _train_chunk():  # production path: train_chunk steps per dispatch
         result["train_img_per_s"] = round(
-            bench_train_step(jax, jnp, min(batch, 256), tiny=args.smoke,
-                             chunk=4 if args.smoke else 16), 1)
+            bench_train_step(jax, jnp, min(batch, 256), tiny=tiny,
+                             chunk=4 if tiny else 16), 1)
 
     def _train_single():
         result["train_img_per_s_single_dispatch"] = round(
-            bench_train_step(jax, jnp, min(batch, 256), tiny=args.smoke), 1)
+            bench_train_step(jax, jnp, min(batch, 256), tiny=tiny), 1)
 
     stage("encode", 150, _encode)
     stage("train_chunked", 300, _train_chunk)
@@ -593,14 +660,14 @@ def main():
 
     # --- extras: MXU-saturating batch + input pipeline (SURVEY §7 risk 9) ---
     def _train_big():
-        if not args.smoke:
+        if not tiny:
             result["train_img_per_s_b1024"] = round(
                 bench_train_step(jax, jnp, 1024, tiny=False, chunk=4), 1)
 
     stage("train_b1024", 240, _train_big)
     emit()
 
-    if args.smoke:
+    if tiny:
         jpeg_root = _jpeg_fixture(128, 72)
         pipe_batch, pipe_resize, pipe_chunk = 16, 36, 2
     else:
@@ -608,7 +675,7 @@ def main():
         pipe_batch, pipe_resize, pipe_chunk = 256, 252, 2
 
     def _pipeline():
-        result.update(bench_h2d(jax, jnp, 8 if args.smoke else 48))
+        result.update(bench_h2d(jax, jnp, 8 if tiny else 48))
         loader_qps = bench_loader(jpeg_root, pipe_batch, pipe_resize,
                                   native=False)
         result["loader_img_per_s"] = round(loader_qps, 1)
@@ -634,7 +701,7 @@ def main():
                                 cache=True, resize=pipe_resize), 1)
         if os.environ.get("PIPELINE_FULL"):
             full = bench_pipeline_train(jax, jnp, jpeg_root, pipe_batch,
-                                        tiny=args.smoke, chunk=pipe_chunk,
+                                        tiny=tiny, chunk=pipe_chunk,
                                         native=use_native)
             print(f"pipeline_full_train_img_per_s: {full:.1f}",
                   file=sys.stderr)
