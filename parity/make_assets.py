@@ -9,7 +9,10 @@
 - a synthetic dataset in the reference manifest format;
 - shared center/codebook matrices (seeded) injected into both sides.
 
-Run: python parity/make_assets.py [--out parity/assets]
+Scale comes from the PARITY_PROTO env (parity/proto.py): tiny (default,
+the round-2/3 protocol) or medium (24 classes / 480 train imgs / nbit 32).
+
+Run: [PARITY_PROTO=medium] python parity/make_assets.py [--out parity/<assets>]
 """
 
 from __future__ import annotations
@@ -20,9 +23,13 @@ import sys
 
 import numpy as np
 
-NCLASS = 6
-NBIT = 16
-PROJ_DIM = 32
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import proto
+
+P = proto.get()
+NCLASS = P["nclass"]
+NBIT = P["nbit"]
+PROJ_DIM = P["proj_dim"]
 
 
 def make_tiny_clip(out_dir: str):
@@ -49,8 +56,8 @@ def make_tiny_clip(out_dir: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
-                                                  "assets"))
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), P["assets_dirname"]))
     args = ap.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
@@ -61,10 +68,12 @@ def main():
     from concepthash_tpu.data.synthetic import make_synthetic_dataset
 
     make_synthetic_dataset(os.path.join(out, "data", "synthetic"),
-                           nclass=NCLASS, per_class_train=12,
-                           per_class_test=6, image_size=64, seed=0)
+                           nclass=NCLASS, per_class_train=P["per_class_train"],
+                           per_class_test=P["per_class_test"],
+                           image_size=P["image_size"], seed=0)
     print(f"synthetic dataset: {out}/data/synthetic "
-          f"({NCLASS} classes, 72 train / 36 test / 72 db)")
+          f"({NCLASS} classes, {NCLASS * P['per_class_train']} train / "
+          f"{NCLASS * P['per_class_test']} test)")
 
     rng = np.random.default_rng(123)
     center = rng.standard_normal((NCLASS, PROJ_DIM)).astype(np.float32)

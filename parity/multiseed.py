@@ -12,6 +12,11 @@ Resumable: a (method, side, seed) run whose test_history.json already exists
 is not re-run. Usage:
 
     python parity/multiseed.py --seeds 42 43 44 [--methods greedyhash csq ...]
+                               [--proto medium]
+
+--proto selects the scale protocol (parity/proto.py): tiny is the round-2/3
+72-image matrix; medium (24 classes / 480 train / nbit 32, VERDICT r3
+weak-3) runs in its own assets/runs/results namespace so the two never mix.
 """
 
 from __future__ import annotations
@@ -26,17 +31,20 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+
+sys.path.insert(0, HERE)
+import proto  # noqa: E402
 METHODS = ["ce", "orthohash", "csq", "concepthash", "dpn", "hashnet",
            "dtsh", "greedyhash", "a2net_ce", "semicon_ce", "concepthash_sa",
            "adsh"]
 
 
-def asset_stamp() -> str:
+def asset_stamp(assets_dir: str) -> str:
     """Hash the injected codebook/center assets so results are pinned to the
     exact matrices both sides trained against."""
     h = hashlib.sha256()
-    for name in sorted(os.listdir(os.path.join(HERE, "assets"))):
-        p = os.path.join(HERE, "assets", name)
+    for name in sorted(os.listdir(assets_dir)):
+        p = os.path.join(assets_dir, name)
         if os.path.isfile(p) and name.endswith(".npy"):
             with open(p, "rb") as f:
                 h.update(name.encode())
@@ -73,15 +81,29 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--methods", nargs="*", default=METHODS)
     ap.add_argument("--no-run", action="store_true")
+    ap.add_argument("--proto", choices=sorted(proto.PROTOS),
+                    default=proto.name())
     args = ap.parse_args()
 
-    out_path = os.path.join(HERE, "RESULTS_MULTISEED.json")
+    os.environ["PARITY_PROTO"] = args.proto  # inherited by child runs
+    P = proto.PROTOS[args.proto]
+    assets_dir = os.path.join(HERE, P["assets_dirname"])
+    if not os.path.isdir(assets_dir):
+        print(f"assets missing — building via make_assets.py -> {assets_dir}",
+              flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(HERE, "make_assets.py")],
+                       check=True, cwd=REPO, env=os.environ)
+
+    out_path = os.path.join(HERE, P["results_filename"])
     results = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
     stamp = {"epochs": args.epochs, "seeds": args.seeds,
-             "assets_sha": asset_stamp(), "protocol": "multiseed-v1"}
+             "assets_sha": asset_stamp(assets_dir),
+             "protocol": ("multiseed-v1" if args.proto == "tiny"
+                          else f"multiseed-v1-{args.proto}")}
     results["stamp"] = stamp
 
     for m in args.methods:
@@ -90,7 +112,7 @@ def main():
             for side, script, prefix in (
                     ("reference", "run_reference.py", "ref"),
                     ("rebuild", "run_rebuild.py", "rebuild")):
-                logdir = os.path.join(HERE, "runs", "ms",
+                logdir = os.path.join(HERE, "runs", P["runs_subdir"],
                                       f"{prefix}_{m}_s{seed}")
                 if not args.no_run:
                     run_one(script, m, seed, args.epochs, logdir)

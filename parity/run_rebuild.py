@@ -17,6 +17,11 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
+sys.path.insert(0, HERE)
+import proto  # noqa: E402  (scale knobs; PARITY_PROTO env selects)
+
+_P = proto.get()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,7 +32,8 @@ def main():
                              "adsh", "semicon"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
+    ap.add_argument("--assets",
+                    default=os.path.join(HERE, _P["assets_dirname"]))
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -55,8 +61,9 @@ def main():
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
         "optim=sgd", "transforms=test",
         f"backbone.name={clip_dir}", "backbone.pretrained=true",
-        "model.nbit=16", "dataset.nclass=6",
-        "batch_size=12", f"epochs={args.epochs}", "eval_interval=10",
+        f"model.nbit={_P['nbit']}", f"dataset.nclass={_P['nclass']}",
+        f"batch_size={_P['batch_size']}", f"epochs={args.epochs}",
+        "eval_interval=10",
         f"seed={args.seed}",
         f"scheduler.warmup_epochs={max(args.epochs // 10, 1)}",
         "model.adapter_bottleneck_dim=8",
@@ -88,7 +95,8 @@ def main():
         ]
     elif args.method in ("adsh", "semicon"):
         # match run_reference's adsh-regime method_params
-        overrides += ["criterion.num_samples=48", "criterion.max_iters=3"]
+        overrides += [f"criterion.num_samples={_P['adsh_num_samples']}",
+                      "criterion.max_iters=3"]
 
     sys.path.insert(0, REPO)
     import main as cli

@@ -22,9 +22,13 @@ REFERENCE = os.environ.get("PARITY_REFERENCE_DIR", "/root/reference")
 
 sys.path.insert(0, os.path.join(HERE, "shims"))
 sys.path.insert(1, REFERENCE)
+sys.path.insert(2, HERE)
 
-NCLASS, NBIT, PROJ_DIM = 6, 16, 32
-RESIZE, CROP, NORM = 64, 48, 3
+import proto  # noqa: E402  (scale knobs; PARITY_PROTO env selects)
+
+_P = proto.get()
+NCLASS, NBIT, PROJ_DIM = _P["nclass"], _P["nbit"], _P["proj_dim"]
+RESIZE, CROP, NORM = _P["resize"], _P["crop"], 3
 
 
 def _transforms(train: bool):
@@ -207,7 +211,8 @@ def _model_block(method: str, assets: str, clip_dir: str):
             "trainer": {"_target_": "trainers.adsh.ADSHTrainer"},
             "criterion": {"_target_": "models.loss.semicon.ADSHLoss",
                           "nbit": NBIT, "gamma": 200},
-            "method_params": {"num_samples": 48, "inner_epochs": 3},
+            "method_params": {"num_samples": _P["adsh_num_samples"],
+                              "inner_epochs": 3},
         }
     if method == "semicon":
         # configs/model/semicon_adapter.yaml (SEM attention-erasing ViT
@@ -222,7 +227,8 @@ def _model_block(method: str, assets: str, clip_dir: str):
             "trainer": {"_target_": "trainers.semicon.SEMICONTrainer"},
             "criterion": {"_target_": "models.loss.semicon.ADSHLoss",
                           "nbit": NBIT, "gamma": 200},
-            "method_params": {"num_samples": 48, "inner_epochs": 3},
+            "method_params": {"num_samples": _P["adsh_num_samples"],
+                              "inner_epochs": 3},
         }
     if method == "concepthash_sa":
         # concepthash + SelfAttention-at-last (coop.py:20-177). mask_sigma=0
@@ -280,7 +286,8 @@ def compose(method: str, assets: str, logdir: str, epochs: int, seed: int):
         # configs/train.yaml root defaults
         "dataset_name": "synthetic", "method_name": method,
         "backbone_name": "tiny-clip", "transforms_name": "test",
-        "batch_size": 12, "epochs": epochs, "backbone_lr_scale": 0,
+        "batch_size": _P["batch_size"], "epochs": epochs,
+        "backbone_lr_scale": 0,
         "dist_metric": "hamming", "exp": "hashing", "tag": "parity",
         "seed": seed, "work_dir": ".", "data_dir": assets, "wandb": False,
         "device": "cpu", "eval_interval": 10, "save_interval": 0,
@@ -312,7 +319,8 @@ def main():
                              "adsh", "semicon"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--assets", default=os.path.join(HERE, "assets"))
+    ap.add_argument("--assets",
+                    default=os.path.join(HERE, _P["assets_dirname"]))
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
