@@ -251,11 +251,12 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
 _INNER_DIRECT_MAX = 32768
 
 
-def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None):
+def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None,
+                          return_theta: bool = False):
     """Indices of ~the kk smallest entries of each row of (Q, m) — a
     superblock-min hierarchy with NO exactness fallback: ties at the
     selection boundary may be missed. Callers MUST pair this with an exact
-    certificate (exact_topk_minspass recomputes theta_next over the true
+    certificate (exact_topk_minspass checks theta_next over the true
     unselected set; a missed small value shrinks theta_next and fails the
     certificate instead of corrupting results).
 
@@ -267,6 +268,15 @@ def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None):
     computed over the unselected set equals the exact selection's
     (kk+1)-th-min theta. (A smaller cap2 can miss boundary values and only
     costs fallbacks, never correctness.)
+
+    return_theta=True additionally returns theta = EXACT min over the
+    unselected entries of each row, (Q,) — for free from the two top_k
+    passes already performed: the unselected set is (gathered entries
+    beyond the kk selected) ∪ (entries of unselected superblocks), so
+    theta = min((kk+1)-th smallest gathered value, (cap2+1)-th smallest
+    superblock min) — the second term because each unselected superblock's
+    min IS one of its entries. This replaces a scatter + full min-reduce
+    over (Q, m) (a whole extra HBM pass — 1.6GB at the 100M point).
 
     Cost: one min-reduce pass over x (HBM bandwidth), a top_k over m/sub2,
     and a top_k over kk*sub2 gathered candidates — at m = 1.56M, kk = 1024
@@ -283,10 +293,20 @@ def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None):
     cap2 = min(cap2, m2)
     x3 = x.reshape(Q, m2, sub2)
     mins2 = x3.min(axis=-1)                                   # (Q, m2)
-    _, si = jax.lax.top_k(-mins2, cap2)                       # superblocks
+    cap2p = min(cap2 + 1, m2) if return_theta else cap2
+    neg_sb, si_all = jax.lax.top_k(-mins2, cap2p)             # superblocks
+    si = si_all[:, :cap2]
     g = jnp.take_along_axis(x3, si[:, :, None], axis=1)       # (Q, cap2, S2)
-    _, li = jax.lax.top_k(-g.reshape(Q, cap2 * sub2), kk)
-    return (jnp.take_along_axis(si, li // sub2, axis=1) * sub2 + li % sub2)
+    neg_g, li_all = jax.lax.top_k(-g.reshape(Q, cap2 * sub2),
+                                  kk + 1 if return_theta else kk)
+    li = li_all[:, :kk]
+    idx = jnp.take_along_axis(si, li // sub2, axis=1) * sub2 + li % sub2
+    if not return_theta:
+        return idx
+    theta_gathered = -neg_g[:, kk]                            # (kk+1)-th value
+    theta_sb = (-neg_sb[:, cap2] if cap2p > cap2
+                else jnp.full((Q,), jnp.inf, x.dtype))        # all sb selected
+    return idx, jnp.minimum(theta_gathered, theta_sb)
 
 
 def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
@@ -361,21 +381,16 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     # certificate failed on tie VOLUME and silently paid a full lax.top_k
     # over (Q, 1.56M) = 116 of the 211ms call (probe_minspass, PARITY.md
     # roadmap 3). Now: small m -> one direct top_k (exact theta for free);
-    # large m -> hierarchical selection WITHOUT a fallback plus an exact
-    # theta_next from a cap-sized scatter + one min-reduce pass — ties the
-    # inner cost to HBM bandwidth instead of sort throughput.
+    # large m -> hierarchical selection WITHOUT a fallback, theta_next
+    # exact from the selection's own top_k passes (see return_theta) —
+    # ties the inner cost to HBM bandwidth instead of sort throughput.
     if m_real <= _INNER_DIRECT_MAX:
         neg_mv, sel_all = jax.lax.top_k(-mins, cap + 1)
         sel = sel_all[:, :cap]                               # (Q, cap)
         theta_next = -neg_mv[:, cap]
     else:
-        sel = _approx_smallest_rows(mins, cap)               # (Q, cap)
-        # mode="drop": an out-of-range index (possible only for inf pads)
-        # must NOT clip onto a real subblock — that would overstate
-        # theta_next and break the exactness certificate
-        masked = mins.at[jnp.arange(mins.shape[0])[:, None], sel].set(
-            jnp.inf, mode="drop")
-        theta_next = masked.min(axis=1)
+        sel, theta_next = _approx_smallest_rows(mins, cap,
+                                                return_theta=True)
 
     rows = (sel[:, :, None] * subblock
             + jnp.arange(subblock, dtype=sel.dtype)).reshape(Q, cap * subblock)

@@ -152,6 +152,37 @@ def test_approx_smallest_rows_coverage_guarantee(rng):
         assert smallest16 <= set(idx[q])
 
 
+def test_approx_smallest_rows_theta_is_exact_unselected_min(rng):
+    """return_theta must equal the EXACT min over each row's unselected
+    entries (the scatter-inf + full-min oracle it replaced), across tie
+    regimes (half-integer Hamming-like values), a non-sub2-multiple width
+    (inf pads), and the all-superblocks-selected edge (cap2 >= m2)."""
+    from concepthash_tpu.ops.topk_select import _approx_smallest_rows
+
+    for trial, (m, sub2, kk, cap2, tie) in enumerate([
+            (1000, 8, 20, 16, False),
+            (997, 8, 20, 16, True),       # pad + heavy ties
+            (64, 8, 8, 8, True),          # cap2 == m2: no unselected sb
+            (1203, 16, 33, None, True),   # default cap2 = kk
+    ]):
+        if tie:
+            x = (rng.integers(0, 12, (5, m)) * 0.5).astype(np.float32)
+        else:
+            x = rng.standard_normal((5, m)).astype(np.float32)
+        idx, theta = _approx_smallest_rows(jnp.asarray(x), kk, sub2=sub2,
+                                           cap2=cap2, return_theta=True)
+        idx, theta = np.asarray(idx), np.asarray(theta)
+        for q in range(5):
+            masked = x[q].copy()
+            masked[idx[q]] = np.inf
+            want = masked.min()
+            assert theta[q] == want, (trial, q, theta[q], want)
+        # and the no-theta call returns the identical selection
+        idx2 = np.asarray(_approx_smallest_rows(jnp.asarray(x), kk,
+                                                sub2=sub2, cap2=cap2))
+        np.testing.assert_array_equal(idx, idx2)
+
+
 def test_minspass_n_valid_masks_pads(rng):
     """Pad rows that are CLOSER than every real row (all-zero codes when the
     queries are far from the whole real gallery) must be masked out by
