@@ -452,22 +452,36 @@ def measure_recall_at_k(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     return hit / (len(d_exact) * topk)
 
 
-def probe_tpu_alive(timeout_s: float) -> bool:
+def probe_tpu_alive(timeout_s: float, attempts: int = 2) -> bool:
     """Run a trivial device program in a KILLABLE subprocess. The relay hang
     mode (BENCH_r03, r4 rehearsal) blocks the calling thread inside a C RPC
     with no Python frames — un-interruptable by SIGALRM — so the only safe
-    first contact is from a process we can kill from outside."""
+    first contact is from a process we can kill from outside.
+
+    Retries once by default: the relay's slow mode is TRANSIENT (the r4
+    runbook saw a probe fail minutes after the same relay completed a 100M
+    workload, then answer again an hour later; a cold connect alone measured
+    64s). One extra attempt converts that flake into a TPU run instead of a
+    CPU-smoke record; a genuinely hung relay costs attempts*timeout_s, still
+    bounded well under the budget."""
     import subprocess
 
     code = ("import jax\n"
             "x = jax.numpy.ones((128, 128))\n"
             "print('BACKEND=' + jax.default_backend(), float((x @ x).sum()))\n")
-    try:
-        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return p.returncode == 0 and "BACKEND=tpu" in p.stdout
-    except Exception:
-        return False
+    for i in range(attempts):
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s,
+                               capture_output=True, text=True)
+            if p.returncode == 0 and "BACKEND=tpu" in p.stdout:
+                return True
+            print(f"tpu probe attempt {i + 1}/{attempts}: rc={p.returncode}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"tpu probe attempt {i + 1}/{attempts}: {type(e).__name__}",
+                  file=sys.stderr)
+    return False
 
 
 def main():
