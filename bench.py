@@ -117,14 +117,20 @@ def bench_serving_exact_packed(jnp, jax, n_db: int, n_q: int,
     db.block_until_ready()
     rng = np.random.default_rng(3)
     q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
-    fn = jax.jit(lambda q, db: retrieve_topk_streaming(
-        q, db, k=topk, db_block=2_000_000, exact=True))
-    d, i = fn(q, db)
+    # precomputed bit-pack (pack_bits_serving): serving holds both layouts
+    # (+12.5% HBM) so the rescore gathers 8 bytes/code instead of 64
+    from concepthash_tpu.ops.topk_select import pack_bits_serving
+
+    db_bits = jax.jit(lambda d: pack_bits_serving(d, nbit))(db)
+    db_bits.block_until_ready()
+    fn = jax.jit(lambda q, db, db_bits: retrieve_topk_streaming(
+        q, db, k=topk, db_block=2_000_000, exact=True, db_bits=db_bits))
+    d, i = fn(q, db, db_bits)
     np.asarray(jax.device_get(i[:1, :1]))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        d, i = fn(q, db)
+        d, i = fn(q, db, db_bits)
     np.asarray(jax.device_get(i[:1, :1]))
     return n_q * iters / (time.perf_counter() - t0)
 

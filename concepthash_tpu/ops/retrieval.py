@@ -291,15 +291,21 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
                       and N % (128 // nbit) == 0 and N > 65536
                       and jax.default_backend() == "tpu")
         if use_kernel:
-            from concepthash_tpu.ops.topk_select import exact_topk_minspass
+            from concepthash_tpu.ops.topk_select import (exact_topk_minspass,
+                                                         pack_bits_serving)
 
-            packed_db = jnp.sign(db).astype(jnp.int8).reshape(
-                N * nbit // 128, 128)
+            db_i8 = jnp.sign(db).astype(jnp.int8)
+            packed_db = db_i8.reshape(N * nbit // 128, 128)
+            # bit-packed rescore copy: one extra gallery read per call for
+            # an 8x smaller candidate gather (loop-invariant, hoisted out
+            # of the query map like packed_db)
+            db_bits = pack_bits_serving(db_i8, nbit)
 
         def _exact_tile(qc):
             if use_kernel:
                 d_f, i_f, ok = exact_topk_minspass(qc, packed_db, k,
-                                                   n_valid=n_valid)
+                                                   n_valid=n_valid,
+                                                   db_bits=db_bits)
                 return jax.lax.cond(
                     ok, lambda _: (d_f, i_f),
                     lambda _: exact_topk_blocked(_dist(qc), k), None)
@@ -397,7 +403,7 @@ def exact_topk_blocked(dist, k: int, subblock: int = 64, cap: int = 512):
 
 def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
                             db_block: int = 2_000_000, exact: bool = False,
-                            n_valid=None):
+                            n_valid=None, db_bits=None):
     """Serving top-k over galleries too large to materialize distances for
     (100M+ entries on one chip).
 
@@ -423,6 +429,12 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     ops/topk_select.pack_serving_gallery ((N/P, 128), P = 128//nbit) —
     packed is the zero-copy layout for the Pallas mins kernel and the
     recommended serving format for nbit < 128.
+
+    ``db_bits``: optional (N, nbit//32) uint32 bit-pack of the same gallery
+    (ops/topk_select.pack_bits_serving) — the rescore stage then gathers 8
+    bytes/code instead of 64 (+12.5% gallery HBM for ~8x less gather
+    traffic). Derived on the fly for exact calls when omitted (one extra
+    gallery read per call, ~10ms at 1e8); serve with a precomputed one.
 
     N must be a multiple of db_block (pad the gallery with +1 rows and mask
     by index if not). ``n_valid``: real row count when the gallery carries
@@ -472,10 +484,14 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     if not exact:
         return jax.lax.fori_loop(0, nblocks, body, init)
 
-    from concepthash_tpu.ops.topk_select import exact_topk_minspass
+    from concepthash_tpu.ops.topk_select import (exact_topk_minspass,
+                                                 pack_bits_serving)
 
+    if db_bits is None:
+        db_bits = pack_bits_serving(db_signs, nbit)
     d_fast, i_fast, valid = exact_topk_minspass(qi, db_signs, k,
-                                                n_valid=n_valid)
+                                                n_valid=n_valid,
+                                                db_bits=db_bits)
     return jax.lax.cond(
         valid, lambda _: (d_fast, i_fast),
         lambda _: jax.lax.fori_loop(0, nblocks, body, init), None)

@@ -309,9 +309,38 @@ def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None,
     return idx, jnp.minimum(theta_gathered, theta_sb)
 
 
+def pack_bits_serving(db_i8, nbit: int | None = None):
+    """uint32 bit-pack of a sign gallery for the rescore gather: (N, nbit)
+    int8 signs or the 128-lane packed form -> (N, nbit//32) uint32 — 8
+    bytes/code at nbit=64 instead of 64, so the candidate gather in
+    ``exact_topk_minspass`` moves 8x less HBM (1.07GB -> 134MB at the
+    100M/cap-1024 point, probe_s4). Bit j set iff sign > 0 (matches
+    ops/hamming.pack_bits). Pad rows (all-zero codes) pack to 0x0 and
+    rescore as popcount(q) — NOT the sign path's nbit/2 — so galleries with
+    pad rows MUST pass ``n_valid`` to the serving calls (the documented
+    contract; the mask runs before any distance is used)."""
+    from concepthash_tpu.ops.hamming import pack_bits
+
+    if nbit is None:
+        nbit = db_i8.shape[1] if db_i8.shape[1] != 128 else 64
+    rows = db_i8.reshape(-1, nbit)
+    N = rows.shape[0]
+    # chunk via lax.map: pack_bits' (N, L, 32) uint32 intermediate is 4x
+    # nbit bytes/code — 25.6GB at 1e8x64 if XLA declines to fuse it away
+    chunk = 1 << 22
+    if N <= chunk:
+        return pack_bits(rows)
+    head = N - N % chunk
+    out = jax.lax.map(pack_bits, rows[:head].reshape(-1, chunk, nbit)
+                      ).reshape(head, -1)
+    if N % chunk:
+        out = jnp.concatenate([out, pack_bits(rows[head:])])
+    return out
+
+
 def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
                         cap: int | None = None, interpret: bool = False,
-                        n_valid=None):
+                        n_valid=None, db_bits=None, retry_mult: int = 2):
     """Exact top-k candidates over an int8 sign gallery via the fused mins
     kernel + hierarchical selection + db-row gather rescore.
 
@@ -321,12 +350,28 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     kernel; the gather/rescore stages read both layouts identically
     because packing is a row-major reshape.
 
+    ``db_bits``: optional (N, nbit//32) uint32 bit-pack of the same gallery
+    (``pack_bits_serving``). When given, the candidate rescore gathers 8
+    bytes/code instead of 64 and scores with XOR+popcount on the VPU —
+    measured 27.9ms -> ~4ms of gather traffic at the 100M/cap-1024 point
+    (probe_s4). Galleries with pad rows must pass ``n_valid`` (pad codes
+    bit-pack to 0x0, which rescored via popcount is NOT the sign path's
+    nbit/2; the n_valid mask applies before any distance is consumed).
+
     Returns (distances (Q, k) f32, indices (Q, k) i32, valid () bool).
     ``valid`` is the exactness certificate: the k-th distance of every query
     is strictly below the best UNSELECTED subblock min, so no entry outside
     the gathered candidates can belong to the top-k (same argument as
     ops/retrieval.exact_topk_blocked). When valid is False the caller MUST
     fall back to an exact path — results here may miss tied entries.
+
+    ``retry_mult``: when the certificate fails at the first candidate
+    budget, ONE on-device retry runs at ``retry_mult * cap`` reusing the
+    already-computed subblock mins (a lax.cond, executed only on failure)
+    before the returned ``valid`` sends the caller to its full fallback.
+    Auto cap is 512 at every scale (certificate-valid on 3 seeds at the
+    1e8 point, probe_cap: 2309 qps vs 1806 at the old 1024) — tie-heavy
+    real-code galleries pay the 2x retry instead of the full-scan cliff.
 
     ``n_valid``: real row count when the gallery carries pad rows (the
     all-zero codes from pack_serving_gallery / shard_gallery sit at distance
@@ -335,18 +380,12 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     candidate budget — the certificate then fails and the caller's exact
     fallback runs). May be a traced scalar.
     """
-    from concepthash_tpu.ops.retrieval import exact_topk_blocked
-
     Q, nbit = q_signs.shape
     packed = db_i8.ndim == 2 and db_i8.shape[1] == 128 and nbit != 128
     P = 128 // nbit if packed else 1
     N = db_i8.shape[0] * P
     if cap is None:
-        # distance-tie mass at the k-th value grows with N, so the
-        # candidate budget must too; measured on v5e (probe_minspass):
-        # 10M: cap 512 -> 81ms vs 1024 -> 135ms; 100M: 512 -> 774ms
-        # (inner-selection tie fallback) vs 1024 -> 213ms
-        cap = 512 if N < (1 << 25) else 1024
+        cap = 512
     qi = jnp.sign(q_signs).astype(jnp.int8)
     m_real = _cdiv(N, subblock)
     nv = N if n_valid is None else n_valid
@@ -372,47 +411,83 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         mins_t = subblock_min_dists(qi, db_i8, subblock=subblock,
                                     interpret=interpret)    # (m_pad, Q)
     mins = mins_t[:m_real].T                                 # (Q, m) copy, small
-    # Select the ~cap smallest subblock mins. The selection itself need NOT
-    # be exact — exactness rests entirely on theta_next being a true lower
-    # bound over the UNSELECTED subblocks plus the final certificate below
-    # (any entry outside the selected subblocks is >= its subblock min
-    # >= theta_next). Round 3 ran an exact inner selection here
-    # (exact_topk_blocked(mins, cap+1)); at 100M entries its own tie
-    # certificate failed on tie VOLUME and silently paid a full lax.top_k
-    # over (Q, 1.56M) = 116 of the 211ms call (probe_minspass, PARITY.md
-    # roadmap 3). Now: small m -> one direct top_k (exact theta for free);
-    # large m -> hierarchical selection WITHOUT a fallback, theta_next
-    # exact from the selection's own top_k passes (see return_theta) —
-    # ties the inner cost to HBM bandwidth instead of sort throughput.
-    if m_real <= _INNER_DIRECT_MAX:
-        neg_mv, sel_all = jax.lax.top_k(-mins, cap + 1)
-        sel = sel_all[:, :cap]                               # (Q, cap)
-        theta_next = -neg_mv[:, cap]
-    else:
-        sel, theta_next = _approx_smallest_rows(mins, cap,
-                                                return_theta=True)
 
-    rows = (sel[:, :, None] * subblock
-            + jnp.arange(subblock, dtype=sel.dtype)).reshape(Q, cap * subblock)
-    # gather whole SUBBLOCKS (contiguous subblock*nbit-byte chunks), not
-    # rows: scattered 64-byte row reads measured ~130ms for 537MB at the
-    # 10M point — 4KB-chunk gathers run near HBM bandwidth
-    lanes = db_i8.shape[1]
-    pad_rows = (-db_i8.shape[0]) % ((subblock // P) if packed else subblock)
-    dbp = (jnp.concatenate(
-        [db_i8, jnp.zeros((pad_rows, lanes), jnp.int8)]) if pad_rows
-        else db_i8)
-    db_sb = dbp.reshape(-1, subblock * nbit)
-    cand = jnp.take(db_sb, jnp.minimum(sel, db_sb.shape[0] - 1).reshape(-1),
-                    axis=0).reshape(Q, cap, subblock, nbit)
-    sim_c = jax.lax.dot_general(
-        cand, qi, dimension_numbers=(((3,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                    # (Q, cap, S)
-    dist_c = 0.5 * (nbit - sim_c).astype(jnp.float32).reshape(
-        Q, cap * subblock)
-    dist_c = jnp.where(rows >= nv, jnp.inf, dist_c)
-    negd, li = jax.lax.top_k(-dist_c, k)
-    d = -negd
-    idx = jnp.take_along_axis(rows, li, axis=1)
-    valid = jnp.all(d[:, -1] < theta_next)
-    return d, idx, valid
+    # rescore gather source: bit-packed rows when available (8 bytes/code),
+    # else the int8 sign rows. Whole SUBBLOCKS are gathered (contiguous
+    # subblock*nbit/8- or subblock*nbit-byte chunks), not rows: scattered
+    # 64-byte row reads measured ~130ms for 537MB at the 10M point —
+    # subblock-chunk gathers run near HBM gather bandwidth.
+    if db_bits is not None:
+        L = db_bits.shape[-1]
+        pad_rows = (-db_bits.shape[0]) % subblock
+        dbb = (jnp.concatenate(
+            [db_bits, jnp.zeros((pad_rows, L), jnp.uint32)]) if pad_rows
+            else db_bits)
+        src_sb = dbb.reshape(-1, subblock * L)
+        from concepthash_tpu.ops.hamming import pack_bits
+
+        q_bits = pack_bits(qi)                               # (Q, L)
+    else:
+        lanes = db_i8.shape[1]
+        pad_rows = (-db_i8.shape[0]) % ((subblock // P) if packed
+                                        else subblock)
+        dbp = (jnp.concatenate(
+            [db_i8, jnp.zeros((pad_rows, lanes), jnp.int8)]) if pad_rows
+            else db_i8)
+        src_sb = dbp.reshape(-1, subblock * nbit)
+
+    def _select_rescore(cap_i: int):
+        # Select the ~cap_i smallest subblock mins. The selection itself
+        # need NOT be exact — exactness rests entirely on theta_next being
+        # a true lower bound over the UNSELECTED subblocks plus the final
+        # certificate below (any entry outside the selected subblocks is
+        # >= its subblock min >= theta_next). Round 3 ran an exact inner
+        # selection here (exact_topk_blocked(mins, cap+1)); at 100M entries
+        # its own tie certificate failed on tie VOLUME and silently paid a
+        # full lax.top_k over (Q, 1.56M) = 116 of the 211ms call
+        # (probe_minspass, PARITY.md roadmap 3). Now: small m -> one direct
+        # top_k (exact theta for free); large m -> hierarchical selection
+        # WITHOUT a fallback, theta_next exact from the selection's own
+        # top_k passes (see return_theta) — ties the inner cost to HBM
+        # bandwidth instead of sort throughput.
+        if m_real <= _INNER_DIRECT_MAX:
+            neg_mv, sel_all = jax.lax.top_k(-mins, cap_i + 1)
+            sel = sel_all[:, :cap_i]                         # (Q, cap_i)
+            theta_next = -neg_mv[:, cap_i]
+        else:
+            sel, theta_next = _approx_smallest_rows(mins, cap_i,
+                                                    return_theta=True)
+
+        rows = (sel[:, :, None] * subblock
+                + jnp.arange(subblock, dtype=sel.dtype)).reshape(
+                    Q, cap_i * subblock)
+        gathered = jnp.take(
+            src_sb, jnp.minimum(sel, src_sb.shape[0] - 1).reshape(-1),
+            axis=0)
+        if db_bits is not None:
+            cand = gathered.reshape(Q, cap_i * subblock, L)
+            x = jnp.bitwise_xor(cand, q_bits[:, None, :])
+            dist_c = jax.lax.population_count(x).sum(
+                axis=-1).astype(jnp.float32)                 # (Q, cap_i*S)
+        else:
+            cand = gathered.reshape(Q, cap_i, subblock, nbit)
+            sim_c = jax.lax.dot_general(
+                cand, qi, dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)            # (Q, cap_i, S)
+            dist_c = 0.5 * (nbit - sim_c).astype(jnp.float32).reshape(
+                Q, cap_i * subblock)
+        dist_c = jnp.where(rows >= nv, jnp.inf, dist_c)
+        negd, li = jax.lax.top_k(-dist_c, k)
+        d = -negd
+        idx = jnp.take_along_axis(rows, li, axis=1)
+        valid = jnp.all(d[:, -1] < theta_next)
+        return d, idx, valid
+
+    d1, i1, v1 = _select_rescore(cap)
+    # m_real - 1: the direct branch's top_k(cap_i + 1) must fit in a row
+    cap_retry = min(retry_mult * cap, m_real - 1)
+    if cap_retry <= cap:
+        return d1, i1, v1
+    return jax.lax.cond(
+        v1, lambda _: (d1, i1, v1),
+        lambda _: _select_rescore(cap_retry), None)

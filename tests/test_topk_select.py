@@ -365,3 +365,92 @@ def test_exact_paths_fuzz_agree(rng):
         np.testing.assert_array_equal(np.sort(np.asarray(d4), 1), ref,
                                       err_msg=f"n_valid trial {trial}")
         assert np.asarray(i4).max() < N
+
+
+def test_bits_rescore_equals_int8_rescore(rng):
+    """The bit-packed candidate rescore (db_bits from pack_bits_serving,
+    XOR+popcount) returns bit-identical results to the int8 sign-dot
+    rescore across tie regimes, layouts, and n_valid masking."""
+    from concepthash_tpu.ops.topk_select import (pack_bits_serving,
+                                                 pack_serving_gallery)
+
+    nbit, k, Q = 64, 9, 5
+    q = _signs(rng, Q, nbit)
+    for trial in range(4):
+        if trial % 2:
+            base = _signs(rng, 30, nbit)
+            db = base[rng.integers(0, 30, 2000)].astype(np.int8)
+        else:
+            db = _signs(rng, 2000, nbit).astype(np.int8)
+        bits = pack_bits_serving(jnp.asarray(db), nbit)
+        kw = dict(k=k, subblock=8, cap=32, interpret=True)
+        d0, i0, v0 = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                         **kw)
+        d1, i1, v1 = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db),
+                                         db_bits=bits, **kw)
+        assert bool(v0) == bool(v1)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    # packed gallery + pad rows + n_valid: pad codes bit-pack to 0x0 and
+    # MUST be masked by n_valid before any distance is consumed
+    n_real = 1997
+    db = _signs(rng, n_real, nbit).astype(np.int8)
+    packed, n_pad = pack_serving_gallery(jnp.asarray(db))
+    bits = pack_bits_serving(packed, nbit)
+    assert bits.shape == (n_pad, nbit // 32)
+    d0, i0, v0 = exact_topk_minspass(jnp.asarray(q), packed, k=k,
+                                     subblock=8, cap=32, interpret=True,
+                                     n_valid=n_real)
+    d1, i1, v1 = exact_topk_minspass(jnp.asarray(q), packed, k=k,
+                                     subblock=8, cap=32, interpret=True,
+                                     n_valid=n_real, db_bits=bits)
+    assert bool(v0) == bool(v1)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.asarray(i1).max() < n_real
+
+
+def test_minspass_retry_recovers_certificate():
+    """Deterministic construction where the first candidate budget fails the
+    certificate and the on-device 2x retry passes: 30 subblocks each hold
+    one entry at distance 1..30 (rest at 40); cap=16 gathers only
+    distances 1..16 (+ fillers at 40), so the k=20-th value (40) is not
+    below theta_next (17) -> fail; retry at cap=32 covers all 30 ->
+    theta_next = 40 > 20 -> valid, exact top-20 = 1..20."""
+    nbit, S, k = 64, 8, 20
+    q = np.ones((1, nbit), np.float32)
+    db = np.full((40 * S, nbit), 1.0, np.float32)
+
+    def at_dist(d):
+        row = np.ones(nbit, np.float32)
+        row[:d] = -1.0
+        return row
+
+    for sb in range(40):
+        for j in range(S):
+            db[sb * S + j] = at_dist(40)
+        if sb < 30:
+            db[sb * S] = at_dist(sb + 1)
+    dbj = jnp.asarray(db.astype(np.int8))
+
+    d1, i1, v1 = exact_topk_minspass(jnp.asarray(q), dbj, k=k, subblock=S,
+                                     cap=16, retry_mult=1, interpret=True)
+    assert not bool(v1), "first budget must fail on this construction"
+
+    d2, i2, v2 = exact_topk_minspass(jnp.asarray(q), dbj, k=k, subblock=S,
+                                     cap=16, retry_mult=2, interpret=True)
+    assert bool(v2), "2x retry must recover the certificate"
+    np.testing.assert_array_equal(np.asarray(d2)[0],
+                                  np.arange(1, k + 1, dtype=np.float32))
+
+    # bits path takes the same retry route
+    from concepthash_tpu.ops.topk_select import pack_bits_serving
+
+    bits = pack_bits_serving(dbj, nbit)
+    d3, i3, v3 = exact_topk_minspass(jnp.asarray(q), dbj, k=k, subblock=S,
+                                     cap=16, retry_mult=2, interpret=True,
+                                     db_bits=bits)
+    assert bool(v3)
+    np.testing.assert_array_equal(np.asarray(d3), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i2))
