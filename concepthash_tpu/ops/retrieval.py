@@ -430,7 +430,7 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     packed is the zero-copy layout for the Pallas mins kernel and the
     recommended serving format for nbit < 128.
 
-    ``db_bits``: optional (N, nbit//32) uint32 bit-pack of the same gallery
+    ``db_bits``: optional uint32 bit-pack of the same gallery
     (ops/topk_select.pack_bits_serving) — the rescore stage then gathers 8
     bytes/code instead of 64 (+12.5% gallery HBM for ~8x less gather
     traffic). Derived on the fly for exact calls when omitted (one extra
@@ -484,11 +484,10 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     if not exact:
         return jax.lax.fori_loop(0, nblocks, body, init)
 
-    from concepthash_tpu.ops.topk_select import (exact_topk_minspass,
-                                                 pack_bits_serving)
+    from concepthash_tpu.ops.topk_select import exact_topk_minspass
 
-    if db_bits is None:
-        db_bits = pack_bits_serving(db_signs, nbit)
+    # db_bits=None is fine: exact_topk_minspass derives the bit-pack
+    # in-call at serving scale (memory-safe chunked build)
     d_fast, i_fast, valid = exact_topk_minspass(qi, db_signs, k,
                                                 n_valid=n_valid,
                                                 db_bits=db_bits)

@@ -250,9 +250,13 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
 # (tests monkeypatch this to force the large-m branch on small inputs)
 _INNER_DIRECT_MAX = 32768
 
+# codes per chunk in pack_bits_serving's chunked build (tests monkeypatch
+# this to exercise the lax.map path on small galleries)
+_PACK_CHUNK_CODES = 1 << 22
+
 
 def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None,
-                          return_theta: bool = False):
+                          return_theta: bool = False, mins2=None):
     """Indices of ~the kk smallest entries of each row of (Q, m) — a
     superblock-min hierarchy with NO exactness fallback: ties at the
     selection boundary may be missed. Callers MUST pair this with an exact
@@ -281,18 +285,32 @@ def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None,
     Cost: one min-reduce pass over x (HBM bandwidth), a top_k over m/sub2,
     and a top_k over kk*sub2 gathered candidates — at m = 1.56M, kk = 1024
     (the 100M-gallery point) ~10ms vs 116ms for an exact top_k over m.
+
+    ``mins2``: optional precomputed (Q, m/sub2) superblock mins (requires
+    m % sub2 == 0). exact_topk_minspass reduces them in the Pallas output's
+    OWN (m, Q) layout before the one big transpose — reducing the
+    transposed (Q, m, sub2) view makes XLA materialize a second
+    full-size relayout copy of x (the 2.98GB copy.68 in the round-4 1e8
+    OOM dump), and the pad concat here a third.
     """
     Q, m = x.shape
     if cap2 is None:
         cap2 = kk
     cap2 = max(cap2, 2 * _cdiv(kk, sub2))
-    pad = (-m) % sub2
-    if pad:
-        x = jnp.concatenate([x, jnp.full((Q, pad), jnp.inf, x.dtype)], axis=1)
-    m2 = (m + pad) // sub2
+    if mins2 is None:
+        pad = (-m) % sub2
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((Q, pad), jnp.inf, x.dtype)], axis=1)
+        m2 = (m + pad) // sub2
+        x3 = x.reshape(Q, m2, sub2)
+        mins2 = x3.min(axis=-1)                               # (Q, m2)
+    else:
+        assert m % sub2 == 0, "precomputed mins2 needs sub2-aligned m"
+        m2 = m // sub2
+        assert mins2.shape == (Q, m2), (mins2.shape, (Q, m2))
+        x3 = x.reshape(Q, m2, sub2)
     cap2 = min(cap2, m2)
-    x3 = x.reshape(Q, m2, sub2)
-    mins2 = x3.min(axis=-1)                                   # (Q, m2)
     cap2p = min(cap2 + 1, m2) if return_theta else cap2
     neg_sb, si_all = jax.lax.top_k(-mins2, cap2p)             # superblocks
     si = si_all[:, :cap2]
@@ -309,32 +327,63 @@ def _approx_smallest_rows(x, kk: int, sub2: int = 64, cap2: int | None = None,
     return idx, jnp.minimum(theta_gathered, theta_sb)
 
 
-def pack_bits_serving(db_i8, nbit: int | None = None):
+def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     """uint32 bit-pack of a sign gallery for the rescore gather: (N, nbit)
-    int8 signs or the 128-lane packed form -> (N, nbit//32) uint32 — 8
-    bytes/code at nbit=64 instead of 64, so the candidate gather in
+    int8 signs or the 128-lane packed form -> (ceil(N/subblock),
+    subblock*nbit//32) uint32, one SUBBLOCK of codes per row (512B rows at
+    nbit=64/S=64 — the contiguous chunk the rescore gathers). 8 bytes/code
+    at nbit=64 instead of 64, so the candidate gather in
     ``exact_topk_minspass`` moves 8x less HBM (1.07GB -> 134MB at the
     100M/cap-1024 point, probe_s4). Bit j set iff sign > 0 (matches
     ops/hamming.pack_bits). Pad rows (all-zero codes) pack to 0x0 and
     rescore as popcount(q) — NOT the sign path's nbit/2 — so galleries with
     pad rows MUST pass ``n_valid`` to the serving calls (the documented
-    contract; the mask runs before any distance is used)."""
+    contract; the mask runs before any distance is used).
+
+    Memory (round 4, 1e8x64): chunks are cut with dynamic_slice IN THE
+    INPUT'S OWN LAYOUT (a whole-gallery reshape of the packed form to
+    (N, nbit<128) stores lane-padded to 128 — 2x the gallery — and a
+    lax.map over a pre-reshaped xs copies the operand into the loop), and
+    every materialized output has a >=128-lane trailing dim: a stacked
+    (chunks, chunk, nbit//32) map output gets tiled with its 2-element
+    minor axis padded to 128 lanes — 64x the data, a 49GB allocation."""
     from concepthash_tpu.ops.hamming import pack_bits
 
     if nbit is None:
         nbit = db_i8.shape[1] if db_i8.shape[1] != 128 else 64
-    rows = db_i8.reshape(-1, nbit)
-    N = rows.shape[0]
-    # chunk via lax.map: pack_bits' (N, L, 32) uint32 intermediate is 4x
-    # nbit bytes/code — 25.6GB at 1e8x64 if XLA declines to fuse it away
-    chunk = 1 << 22
-    if N <= chunk:
-        return pack_bits(rows)
-    head = N - N % chunk
-    out = jax.lax.map(pack_bits, rows[:head].reshape(-1, chunk, nbit)
-                      ).reshape(head, -1)
-    if N % chunk:
-        out = jnp.concatenate([out, pack_bits(rows[head:])])
+    L = nbit // 32
+    lanes = db_i8.shape[1]
+    P = lanes // nbit                       # codes per stored row (1 if plain)
+    Nr = db_i8.shape[0]                     # stored rows
+    N = Nr * P
+
+    def chunk_rows(words):                  # (M, L) -> (M/S, S*L), zero-pad
+        pad = (-words.shape[0]) % subblock
+        if pad:
+            words = jnp.concatenate(
+                [words, jnp.zeros((pad, L), jnp.uint32)])
+        return words.reshape(-1, subblock * L)
+
+    assert P == 1 or subblock % P == 0
+    codes_per_chunk = max(subblock, _PACK_CHUNK_CODES
+                          - _PACK_CHUNK_CODES % subblock)
+    chunk_r = codes_per_chunk // P          # stored rows per chunk
+    assert chunk_r > 0 and chunk_r * P % subblock == 0
+    if Nr <= chunk_r:
+        return chunk_rows(pack_bits(db_i8.reshape(-1, nbit)))
+    nfull = Nr // chunk_r
+
+    def body(i):
+        blk = jax.lax.dynamic_slice(db_i8, (i * chunk_r, 0), (chunk_r, lanes))
+        return chunk_rows(pack_bits(blk.reshape(chunk_r * P, nbit)))
+
+    out = jax.lax.map(body, jnp.arange(nfull)).reshape(
+        nfull * (chunk_r * P // subblock), subblock * L)
+    if Nr % chunk_r:
+        out = jnp.concatenate(
+            [out,
+             chunk_rows(pack_bits(db_i8[nfull * chunk_r:].reshape(-1, nbit)))])
+    assert out.shape[0] == _cdiv(N, subblock)
     return out
 
 
@@ -354,7 +403,11 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     (``pack_bits_serving``). When given, the candidate rescore gathers 8
     bytes/code instead of 64 and scores with XOR+popcount on the VPU —
     measured 27.9ms -> ~4ms of gather traffic at the 100M/cap-1024 point
-    (probe_s4). Galleries with pad rows must pass ``n_valid`` (pad codes
+    (probe_s4). When omitted in the large-m regime (> _INNER_DIRECT_MAX
+    subblocks) it is derived in-call — one extra gallery read, vs the
+    sign-row rescore's whole-gallery subblock reshape, which is a 6.4GB
+    relayout copy at 1e8x64 (the round-4 OOM); serve with a precomputed
+    one. Galleries with pad rows must pass ``n_valid`` (pad codes
     bit-pack to 0x0, which rescored via popcount is NOT the sign path's
     nbit/2; the n_valid mask applies before any distance is consumed).
 
@@ -404,13 +457,40 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         neg, idx = jax.lax.top_k(-dist, k)
         return -neg, idx, jnp.array(True)
 
+    large_m = m_real > _INNER_DIRECT_MAX
+    if large_m and db_bits is None:
+        # the sign-row rescore below reshapes the WHOLE gallery into
+        # subblock chunks — a 6.4GB relayout copy at 1e8x64 (the round-4
+        # OOM dump's reshape.29); the bit-pack is 8x smaller, memory-safe
+        # to build (chunked in-layout), and 8x less gather traffic. Only
+        # auto-derived at serving scale: pad rows rescore as popcount(q)
+        # under bits (not the sign path's nbit/2), so pad-carrying
+        # galleries must pass n_valid — the documented serving contract.
+        db_bits = pack_bits_serving(db_i8, nbit)
     if packed:
         mins_t = subblock_min_dists_packed(qi, db_i8, subblock=subblock,
                                            interpret=interpret)
     else:
         mins_t = subblock_min_dists(qi, db_i8, subblock=subblock,
                                     interpret=interpret)    # (m_pad, Q)
-    mins = mins_t[:m_real].T                                 # (Q, m) copy, small
+    if large_m:
+        # Keep the mins in the kernel's (m, Q) layout as long as possible:
+        # reduce superblocks natively, then ONE transpose to (Q, m) for the
+        # per-entry gather. Slicing to m_real + transposing + re-padding
+        # (the round-3 form) kept THREE ~1.5GB relayout copies of the mins
+        # live at the 1e8 point (round-4 OOM dump, allocs 2-4); kernel pad
+        # rows carry distance nbit+1 (> any real), which is exactly the
+        # +inf-like padding the selection needs, so they stay in-band.
+        sub2 = 64
+        pad2 = (-mins_t.shape[0]) % sub2
+        if pad2:
+            mins_t = jnp.concatenate(
+                [mins_t,
+                 jnp.full((pad2, Q), float(nbit + 1), jnp.float32)])
+        msb = mins_t.reshape(-1, sub2, Q).min(axis=1).T      # (Q, m2) small
+        mins = mins_t.T                                      # (Q, m_pad2)
+    else:
+        mins = mins_t[:m_real].T                             # (Q, m) small
 
     # rescore gather source: bit-packed rows when available (8 bytes/code),
     # else the int8 sign rows. Whole SUBBLOCKS are gathered (contiguous
@@ -418,12 +498,21 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     # 64-byte row reads measured ~130ms for 537MB at the 10M point —
     # subblock-chunk gathers run near HBM gather bandwidth.
     if db_bits is not None:
-        L = db_bits.shape[-1]
-        pad_rows = (-db_bits.shape[0]) % subblock
-        dbb = (jnp.concatenate(
-            [db_bits, jnp.zeros((pad_rows, L), jnp.uint32)]) if pad_rows
-            else db_bits)
-        src_sb = dbb.reshape(-1, subblock * L)
+        L = nbit // 32
+        assert db_bits.shape[1] % L == 0, (db_bits.shape, nbit)
+        if db_bits.shape[1] == subblock * L:
+            src_sb = db_bits           # canonical subblock-chunk serving form
+        else:
+            # per-code row form (N, L), or chunked at another subblock:
+            # re-chunk to this call's (small galleries — serving callers
+            # pack with the matching subblock so this is a no-op there)
+            words = (db_bits if db_bits.shape[1] == L
+                     else db_bits.reshape(-1, L))
+            pad_rows = (-words.shape[0]) % subblock
+            if pad_rows:
+                words = jnp.concatenate(
+                    [words, jnp.zeros((pad_rows, L), jnp.uint32)])
+            src_sb = words.reshape(-1, subblock * L)
         from concepthash_tpu.ops.hamming import pack_bits
 
         q_bits = pack_bits(qi)                               # (Q, L)
@@ -450,13 +539,14 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         # WITHOUT a fallback, theta_next exact from the selection's own
         # top_k passes (see return_theta) — ties the inner cost to HBM
         # bandwidth instead of sort throughput.
-        if m_real <= _INNER_DIRECT_MAX:
+        if not large_m:
             neg_mv, sel_all = jax.lax.top_k(-mins, cap_i + 1)
             sel = sel_all[:, :cap_i]                         # (Q, cap_i)
             theta_next = -neg_mv[:, cap_i]
         else:
-            sel, theta_next = _approx_smallest_rows(mins, cap_i,
-                                                    return_theta=True)
+            sel, theta_next = _approx_smallest_rows(mins, cap_i, sub2=sub2,
+                                                    return_theta=True,
+                                                    mins2=msb)
 
         rows = (sel[:, :, None] * subblock
                 + jnp.arange(subblock, dtype=sel.dtype)).reshape(
@@ -465,10 +555,21 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
             src_sb, jnp.minimum(sel, src_sb.shape[0] - 1).reshape(-1),
             axis=0)
         if db_bits is not None:
-            cand = gathered.reshape(Q, cap_i * subblock, L)
-            x = jnp.bitwise_xor(cand, q_bits[:, None, :])
-            dist_c = jax.lax.population_count(x).sum(
-                axis=-1).astype(jnp.float32)                 # (Q, cap_i*S)
+            # keep every materialized shape >=128 lanes wide: a
+            # (Q, cap_i*S, L) view of the gathered words tiles its L-wide
+            # minor axis to 128 lanes — 64x the data, an 8GB allocation at
+            # the 1e8 retry point (round-4 OOM dump). XOR/popcount run on
+            # the (Q, cap_i, S*L) chunk shape; the per-code word sum is an
+            # MXU contraction with a repeat-eye matrix instead of a
+            # reshape+sum over an L-minor axis.
+            x = jnp.bitwise_xor(gathered.reshape(Q, cap_i, subblock * L),
+                                jnp.tile(q_bits, (1, subblock))[:, None, :])
+            pc = jax.lax.population_count(x).astype(jnp.int8)  # <=32/word
+            wsum = jnp.repeat(jnp.eye(subblock, dtype=jnp.int8), L, axis=0)
+            dist_c = jax.lax.dot_general(
+                pc, wsum, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(
+                    jnp.float32).reshape(Q, cap_i * subblock)
         else:
             cand = gathered.reshape(Q, cap_i, subblock, nbit)
             sim_c = jax.lax.dot_general(

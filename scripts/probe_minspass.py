@@ -38,7 +38,20 @@ def sel_only(q, db):
 t = timeit(jax.jit(sel_only), q, db)
 log(f"kernel + inner sel(1025): {t*1e3:7.1f} ms")
 
-f = jax.jit(lambda q, db: exact_topk_minspass(q, db, k))
-d, i, v = f(q, db)
-t = timeit(f, q, db)
-log(f"full minspass (cap auto): {t*1e3:7.1f} ms -> {Q/t:6.0f} qps valid={bool(v)}")
+from concepthash_tpu.ops.topk_select import pack_bits_serving  # noqa: E402
+
+bits = jax.jit(lambda db: pack_bits_serving(db, nbit))(db)
+fence(bits); log("bits packed (serving layout)")
+
+f = jax.jit(lambda q, db, bits: exact_topk_minspass(q, db, k, db_bits=bits))
+d, i, v = f(q, db, bits)
+t = timeit(f, q, db, bits)
+log(f"full minspass (precomputed bits): {t*1e3:7.1f} ms -> {Q/t:6.0f} qps "
+    f"valid={bool(v)}")
+
+f2 = jax.jit(lambda q, db: exact_topk_minspass(q, db, k))
+d2, i2, v2 = f2(q, db)
+t2 = timeit(f2, q, db)
+log(f"full minspass (bits derived in-call): {t2*1e3:7.1f} ms -> "
+    f"{Q/t2:6.0f} qps valid={bool(v2)}")
+assert np.array_equal(np.asarray(d), np.asarray(d2))

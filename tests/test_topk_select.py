@@ -398,7 +398,11 @@ def test_bits_rescore_equals_int8_rescore(rng):
     db = _signs(rng, n_real, nbit).astype(np.int8)
     packed, n_pad = pack_serving_gallery(jnp.asarray(db))
     bits = pack_bits_serving(packed, nbit)
-    assert bits.shape == (n_pad, nbit // 32)
+    # canonical serving form: one subblock of codes per row (512B rows at
+    # nbit=64/S=64); the minspass call below chunks at subblock=8 and
+    # re-chunks this 64-aligned pack — both forms must agree
+    L = nbit // 32
+    assert bits.shape == (-(-n_pad // 64), 64 * L)
     d0, i0, v0 = exact_topk_minspass(jnp.asarray(q), packed, k=k,
                                      subblock=8, cap=32, interpret=True,
                                      n_valid=n_real)
@@ -454,3 +458,34 @@ def test_minspass_retry_recovers_certificate():
     assert bool(v3)
     np.testing.assert_array_equal(np.asarray(d3), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i2))
+
+
+def test_pack_bits_serving_chunked_matches_direct(rng, monkeypatch):
+    """The chunked lax.map build (serving-scale path, forced via
+    _PACK_CHUNK_CODES) produces the same subblock-chunk words as the
+    single-shot build, for both plain and 128-lane packed inputs, including
+    a ragged tail chunk. Guards the round-4 memory rework: chunk outputs
+    must already be in the >=128-lane serving layout (a stacked
+    (chunks, chunk, L) map output tiles its L-wide minor axis to 128 lanes
+    — 64x the data, a 49GB allocation at 1e8)."""
+    import concepthash_tpu.ops.topk_select as ts
+
+    nbit = 64
+    for N in (1024, 1000):                      # aligned + ragged tail
+        db = _signs(rng, N, nbit).astype(np.int8)
+        direct = np.asarray(ts.pack_bits_serving(jnp.asarray(db), nbit))
+        monkeypatch.setattr(ts, "_PACK_CHUNK_CODES", 256)
+        chunked = np.asarray(ts.pack_bits_serving(jnp.asarray(db), nbit))
+        monkeypatch.setattr(ts, "_PACK_CHUNK_CODES", 1 << 22)
+        np.testing.assert_array_equal(direct, chunked)
+
+        packed, n_pad = ts.pack_serving_gallery(jnp.asarray(db))
+        direct_p = np.asarray(ts.pack_bits_serving(packed, nbit))
+        monkeypatch.setattr(ts, "_PACK_CHUNK_CODES", 256)
+        chunked_p = np.asarray(ts.pack_bits_serving(packed, nbit))
+        monkeypatch.setattr(ts, "_PACK_CHUNK_CODES", 1 << 22)
+        np.testing.assert_array_equal(direct_p, chunked_p)
+        # plain and packed inputs agree on the real rows (pads are 0x0)
+        L = nbit // 32
+        np.testing.assert_array_equal(
+            direct.reshape(-1, L)[:N], direct_p.reshape(-1, L)[:N])
