@@ -685,7 +685,8 @@ class RetrievalExperiment:
         """Alternating optimization (reference trainers/adsh.py:118-175):
         per epoch, SGD a resampled subset against stored db codes, then
         discrete-cyclic-coordinate update of the db codes."""
-        from concepthash_tpu.losses.baselines import adsh_loss, solve_dcc
+        from concepthash_tpu.losses.baselines import (adsh_loss, soften_sim,
+                                                      solve_dcc)
         from concepthash_tpu.ops.retrieval import get_sim
 
         cfg = self.config
@@ -732,8 +733,13 @@ class RetrievalExperiment:
             sub = train_ds.subset(omega)
             loader = Loader(sub, bs, resize=resize, shuffle=True, drop_last=True,
                             seed=int(cfg.get("seed", 42)) + ep)
-            S_full = (get_sim(train_onehot[omega], train_onehot)
-                      .astype(np.float32) * 2 - 1)  # soft similarity in {-1, 1}
+            # Hard {-1,+1} pair matrix, then the upstream soft-similarity
+            # rebalance — omitting it collapsed adsh at the 24-class medium
+            # parity scale (RESULTS_MULTISEED_MEDIUM pre-fix: 0.44 vs ref
+            # 0.84); see soften_sim's docstring. Both the SGD loss and the
+            # DCC consume the soft S upstream.
+            S_full = soften_sim(get_sim(train_onehot[omega], train_onehot)
+                                .astype(np.float32) * 2 - 1)
             V_dev = jax.device_put(V, repl)
             meters = MeterBank()
             for _ in range(inner_epochs):

@@ -277,6 +277,21 @@ def adsh_loss(outputs, batch_codes_targets, gamma: float = 200.0, nbit: int = 64
     return hash_loss + quan, {"hash": hash_loss, "quan": quan}
 
 
+def soften_sim(S):
+    """Soft-similarity rebalance applied by both adsh-regime trainers
+    upstream (reference trainers/adsh.py:148-150, trainers/semicon.py
+    identically) to the hard {-1,+1} pair matrix BEFORE the loss and the
+    DCC consume it: ``r = S.sum()/(1-S).sum(); S*(1+r) - r``. Positives
+    stay exactly +1; negatives move from -1 to ``-(1+2r)`` which for C
+    balanced classes is about ``-1/(C-1)`` — near-orthogonal rather than
+    exact-complement. Without it the negative target ``u.v = -nbit`` is
+    infeasible beyond 2 classes and training collapses at class counts
+    past the tiny protocol (PARITY.md, medium matrix adsh row). NumPy or
+    jax arrays both work; returns the same backend's array."""
+    r = S.sum() / (1.0 - S).sum()
+    return S * (1.0 + r) - r
+
+
 def solve_dcc(V: jnp.ndarray, U: jnp.ndarray, S: jnp.ndarray, omega,
               gamma: float, nbit: int) -> jnp.ndarray:
     """Discrete cyclic coordinate descent over bits (reference

@@ -332,3 +332,29 @@ def test_orthohash_bcs_sign_centroid_head(rng):
     lb, _ = L.orthohash_loss(blended, onehot)
     np.testing.assert_allclose(float(l1), float(lb), atol=1e-6)
     assert not np.allclose(float(l0), float(l1))
+
+
+def test_soften_sim_matches_reference_rebalance():
+    """The adsh-regime soft-similarity rebalance (reference
+    trainers/adsh.py:148-150): positives stay exactly +1; for C balanced
+    classes negatives land at -P/N (about -1/(C-1)), not -1. Omitting it
+    collapsed adsh at the 24-class medium parity scale (PARITY.md)."""
+    from concepthash_tpu.losses.baselines import soften_sim
+    from concepthash_tpu.ops.retrieval import get_sim
+
+    rng = np.random.default_rng(0)
+    C, M = 8, 5  # 8 balanced classes, 5 items each
+    labels = np.repeat(np.arange(C), M)
+    onehot = np.eye(C, dtype=np.float32)[labels]
+    S = np.asarray(get_sim(onehot, onehot)).astype(np.float32) * 2 - 1
+    soft = soften_sim(S)
+
+    # independent transcription of the reference formula
+    r = S.sum() / (1.0 - S).sum()
+    np.testing.assert_allclose(soft, S * (1.0 + r) - r, rtol=1e-6)
+
+    pos, neg = soft[S > 0], soft[S < 0]
+    np.testing.assert_allclose(pos, 1.0, atol=1e-6)
+    n_pos, n_neg = (S > 0).sum(), (S < 0).sum()
+    np.testing.assert_allclose(neg, -n_pos / n_neg, rtol=1e-5)
+    assert neg.max() < 0 and neg.min() > -0.25  # near-orthogonal, not -1
