@@ -688,14 +688,23 @@ def main():
     emit()
 
     if tiny:
-        jpeg_root = _jpeg_fixture(128, 72)
+        pipe_n, pipe_size = 128, 72
         pipe_batch, pipe_resize, pipe_chunk = 16, 36, 2
     else:
-        jpeg_root = _jpeg_fixture(1024, 280)
+        pipe_n, pipe_size = 1024, 280
         pipe_batch, pipe_resize, pipe_chunk = 256, 252, 2
 
     def _pipeline():
-        result.update(bench_h2d(jax, jnp, 8 if tiny else 48))
+        # fixture build inside the gated stage: ~60s if /tmp was wiped,
+        # ~0s when the cached copy survives across runs
+        jpeg_root = _jpeg_fixture(pipe_n, pipe_size)
+        # Internally budget-gated sub-measurements, cheapest/host-only first,
+        # emitting after each — so a tight tail budget still captures the
+        # loader fields instead of skipping the whole stage (the r04
+        # rehearsal had 200s left vs the old monolithic ~300s estimate).
+        def left():
+            return budget - (time.perf_counter() - t_start)
+
         loader_qps = bench_loader(jpeg_root, pipe_batch, pipe_resize,
                                   native=False)
         result["loader_img_per_s"] = round(loader_qps, 1)
@@ -709,12 +718,25 @@ def main():
         result["loader_cached_img_per_s"] = round(
             bench_loader(jpeg_root, pipe_batch, pipe_resize, native=False,
                          cache=True), 1)
+        emit()
+        # Device-touching sub-stages (measured warm: h2d ~5s but up to ~80s
+        # on a cold/slow relay; each feed ~10s).
+        if left() < 90:
+            result["skipped_stages"].append("input_pipeline:h2d+feed")
+            return
+        result.update(bench_h2d(jax, jnp, 8 if tiny else 48))
         use_native = bool(loader_native_qps
                           and loader_native_qps > loader_qps)
+        if left() < 30:
+            result["skipped_stages"].append("input_pipeline:feed")
+            return
         result["pipeline_feed_img_per_s"] = round(
             bench_pipeline_feed(jax, jnp, jpeg_root, pipe_batch,
                                 chunk=pipe_chunk, native=use_native,
                                 resize=pipe_resize), 1)
+        if left() < 20:
+            result["skipped_stages"].append("input_pipeline:feed_cached")
+            return
         result["pipeline_feed_cached_img_per_s"] = round(
             bench_pipeline_feed(jax, jnp, jpeg_root, pipe_batch,
                                 chunk=pipe_chunk, native=use_native,
@@ -726,7 +748,9 @@ def main():
             print(f"pipeline_full_train_img_per_s: {full:.1f}",
                   file=sys.stderr)
 
-    stage("input_pipeline", 300, _pipeline)
+    # est 45: the host-only loader measurements (~15s warm, ~75s if the
+    # JPEG fixture must be rebuilt); device sub-stages self-gate above.
+    stage("input_pipeline", 45, _pipeline)
 
     signal.alarm(0)
     emit()
