@@ -76,41 +76,63 @@ def _block_diag_queries(qi, P: int):
 
 def _mins_kernel_packed(qc_ref, db_ref, o_ref, *, nbit: int, P: int,
                         subblock: int, block_rows2: int, n_rows2: int,
-                        Q: int, chunk2: int):
+                        Q: int, chunk2: int, out_dtype):
     """Packed-gallery variant: db rows are 128-lane packs of P originals;
     qc is the block-diagonal query matrix. An inner static loop walks
     ``chunk2``-row chunks of the tile (keeps the (chunk2, P*Q) int32 sim
     tile small while amortizing grid-step overhead — the plain kernel's
     one-dot-per-step form measured grid-bound at 10M+ galleries). Group-max
     over sublane groups of subblock//P packed rows, then over the P lane
-    groups."""
+    groups.
+
+    The tail-row mask runs ONLY on the last grid step (pl.when): the
+    per-chunk iota+compare+select over the (chunk2, P*Q) int32 sim tile
+    is pure VPU work that the round-4 probe showed dominating the gap
+    between the shipped kernel (163 Tops) and the dot-only form (227 Tops
+    — the v5e int8 MXU double-rate IS engaged, probe_int8_mxu)."""
     i = pl.program_id(0)
     spp = subblock // P                                    # packed rows/subblock
-    for c in range(block_rows2 // chunk2):                 # static inner loop
-        sim2 = jax.lax.dot_general(
-            db_ref[c * chunk2:(c + 1) * chunk2, :], qc_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)              # (chunk2, P*Q)
-        if n_rows2 % block_rows2:
-            row = (jax.lax.broadcasted_iota(jnp.int32, sim2.shape, 0)
-                   + i * block_rows2 + c * chunk2)
-            sim2 = jnp.where(row < n_rows2, sim2, -(nbit + 2))
-        g = sim2.reshape(chunk2 // spp, spp, sim2.shape[1])
-        gmax = jnp.max(g, axis=1)                          # (nblk, P*Q)
-        m = gmax[:, 0:Q]
-        for p in range(1, P):                              # static lane-group max
-            m = jnp.maximum(m, gmax[:, p * Q:(p + 1) * Q])
-        nblk = chunk2 // spp
-        o_ref[c * nblk:(c + 1) * nblk, :] = (
-            0.5 * (nbit - m).astype(jnp.float32))
+
+    def compute(mask: bool):
+        for c in range(block_rows2 // chunk2):             # static inner loop
+            sim2 = jax.lax.dot_general(
+                db_ref[c * chunk2:(c + 1) * chunk2, :], qc_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (chunk2, P*Q)
+            if mask:
+                row = (jax.lax.broadcasted_iota(jnp.int32, sim2.shape, 0)
+                       + i * block_rows2 + c * chunk2)
+                sim2 = jnp.where(row < n_rows2, sim2, -(nbit + 2))
+            g = sim2.reshape(chunk2 // spp, spp, sim2.shape[1])
+            gmax = jnp.max(g, axis=1)                      # (nblk, P*Q)
+            m = gmax[:, 0:Q]
+            for p in range(1, P):                          # static lane-group max
+                m = jnp.maximum(m, gmax[:, p * Q:(p + 1) * Q])
+            nblk = chunk2 // spp
+            o_ref[c * nblk:(c + 1) * nblk, :] = (
+                0.5 * (nbit - m).astype(jnp.float32)).astype(out_dtype)
+
+    if n_rows2 % block_rows2:
+        last = pl.num_programs(0) - 1
+        pl.when(i == last)(lambda: compute(True))
+        pl.when(i != last)(lambda: compute(False))
+    else:
+        compute(False)
 
 
 def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
                               block_rows2: int | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              out_dtype=jnp.float32):
     """Packed-gallery per-subblock min distances: (Q, nbit) x (Np, 128)
     int8 (P = 128//nbit originals per row, ops from pack_serving_gallery)
-    -> (ceil(Np*P/S), Q) float32 transposed mins.
+    -> (ceil(Np*P/S), Q) transposed mins in ``out_dtype``.
+
+    ``out_dtype=jnp.bfloat16`` is EXACT for nbit <= 128: every Hamming
+    half-integer distance (and the nbit+1 pad value) is <= 129 < 256, all
+    representable in bf16's 8-bit mantissa — and it halves the mins write
+    plus every downstream pass over them (the 1.6GB mins array at the 1e8
+    serving point).
 
     The packed layout matches Mosaic's int8 tile exactly (128 lanes), so
     the kernel reads the gallery IN PLACE — the (N, nbit<128) form costs a
@@ -142,13 +164,14 @@ def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
     if not _HAS_PALLAS or (not interpret
                            and jax.default_backend() != "tpu"):
         return _mins_reference(qi, db_packed.reshape(N, nbit), subblock,
-                               m_pad)
+                               m_pad, out_dtype)
 
     qc = _block_diag_queries(qi, P)                        # (P*Q, 128)
     out = pl.pallas_call(
         functools.partial(_mins_kernel_packed, nbit=nbit, P=P,
                           subblock=subblock, block_rows2=block_rows2,
-                          n_rows2=Np, Q=Q, chunk2=chunk2),
+                          n_rows2=Np, Q=Q, chunk2=chunk2,
+                          out_dtype=out_dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((P * Q, 128), lambda i: (0, 0),
@@ -158,38 +181,52 @@ def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
         ],
         out_specs=pl.BlockSpec((block_rows2 // spp, Q),
                                lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, Q), out_dtype),
         interpret=interpret,
     )(qc, db_packed)
     return out
 
 
 def _mins_kernel(q_ref, db_ref, o_ref, *, nbit: int, subblock: int,
-                 block_rows: int, n_rows: int):
+                 block_rows: int, n_rows: int, out_dtype):
     """One db row-block: simT = db_blk @ q^T (MXU, int32), group-max over
-    sublane groups of `subblock`, emit min DISTANCES (f32)."""
+    sublane groups of `subblock`, emit min DISTANCES. Tail-row mask runs
+    only on the LAST grid step (pl.when) — see _mins_kernel_packed."""
     i = pl.program_id(0)
-    sim = jax.lax.dot_general(
-        db_ref[...], q_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)                  # (Bt, Q)
-    if n_rows % block_rows:  # mask padded tail rows (static predicate)
-        row = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
-               + i * block_rows)
-        # padded rows get sim below any real value -> dist above any real
-        sim = jnp.where(row < n_rows, sim, -(nbit + 2))
-    g = sim.reshape(block_rows // subblock, subblock, sim.shape[1])
-    gmax = jnp.max(g, axis=1)                               # (Bt/S, Q)
-    o_ref[...] = 0.5 * (nbit - gmax).astype(jnp.float32)
+
+    def compute(mask: bool):
+        sim = jax.lax.dot_general(
+            db_ref[...], q_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (Bt, Q)
+        if mask:
+            row = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+                   + i * block_rows)
+            # padded rows get sim below any real value -> dist above any real
+            sim = jnp.where(row < n_rows, sim, -(nbit + 2))
+        g = sim.reshape(block_rows // subblock, subblock, sim.shape[1])
+        gmax = jnp.max(g, axis=1)                           # (Bt/S, Q)
+        o_ref[...] = (0.5 * (nbit - gmax).astype(jnp.float32)).astype(
+            out_dtype)
+
+    if n_rows % block_rows:  # static predicate
+        last = pl.num_programs(0) - 1
+        pl.when(i == last)(lambda: compute(True))
+        pl.when(i != last)(lambda: compute(False))
+    else:
+        compute(False)
 
 
 def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
                        block_rows: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       out_dtype=jnp.float32):
     """Per-subblock min Hamming distance, (Q, nbit) x (N, nbit) ->
-    (ceil(N/S), Q) float32 — TRANSPOSED (subblock-major) so the in-kernel
-    group reduction splits the sublane axis, which is free, instead of the
-    lane axis. Callers transpose the small mins array, never the distances.
+    (ceil(N/S), Q) in ``out_dtype`` (bf16 exact for nbit <= 128, see
+    subblock_min_dists_packed) — TRANSPOSED (subblock-major) so the
+    in-kernel group reduction splits the sublane axis, which is free,
+    instead of the lane axis. Callers transpose the small mins array,
+    never the distances.
 
     q_signs: (Q, nbit) ±1 (any float/int dtype); db_i8: (N, nbit) int8 ±1.
     Entries past N get distance nbit+1 (> any real Hamming distance).
@@ -208,11 +245,12 @@ def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
     # equivalent XLA form unless interpret mode is explicitly requested
     if not _HAS_PALLAS or (not interpret
                            and jax.default_backend() != "tpu"):
-        return _mins_reference(qi, db_i8, subblock, m_pad)
+        return _mins_reference(qi, db_i8, subblock, m_pad, out_dtype)
 
     out = pl.pallas_call(
         functools.partial(_mins_kernel, nbit=nbit, subblock=subblock,
-                          block_rows=block_rows, n_rows=N),
+                          block_rows=block_rows, n_rows=N,
+                          out_dtype=out_dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((Q, nbit), lambda i: (0, 0),
@@ -222,13 +260,14 @@ def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
         ],
         out_specs=pl.BlockSpec((block_rows // subblock, Q),
                                lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, Q), out_dtype),
         interpret=interpret,
     )(qi, db_i8)
     return out
 
 
-def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
+def _mins_reference(qi, db_i8, subblock: int, m_pad: int,
+                    out_dtype=jnp.float32):
     """XLA fallback with identical semantics (used when pallas is absent;
     also the oracle in tests)."""
     Q, nbit = qi.shape
@@ -242,7 +281,7 @@ def _mins_reference(qi, db_i8, subblock: int, m_pad: int):
         sim = jnp.concatenate(
             [sim, jnp.full((pad, Q), -(nbit + 2), jnp.int32)])
     gmax = sim.reshape(m_pad, subblock, Q).max(axis=1)
-    return 0.5 * (nbit - gmax).astype(jnp.float32)
+    return (0.5 * (nbit - gmax).astype(jnp.float32)).astype(out_dtype)
 
 
 # direct lax.top_k is cheap below this many subblock mins per row; above it
@@ -467,12 +506,19 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         # under bits (not the sign path's nbit/2), so pad-carrying
         # galleries must pass n_valid — the documented serving contract.
         db_bits = pack_bits_serving(db_i8, nbit)
+    # bf16 mins are EXACT for nbit <= 128 (all half-integer distances and
+    # the nbit+1 pad value are < 256, inside bf16's 8-bit mantissa) and
+    # halve the kernel's mins write + the superblock reduce + the transpose
+    # (~1.6GB f32 at the 1e8 point).
+    mdt = jnp.bfloat16 if nbit <= 128 else jnp.float32
     if packed:
         mins_t = subblock_min_dists_packed(qi, db_i8, subblock=subblock,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           out_dtype=mdt)
     else:
         mins_t = subblock_min_dists(qi, db_i8, subblock=subblock,
-                                    interpret=interpret)    # (m_pad, Q)
+                                    interpret=interpret,
+                                    out_dtype=mdt)           # (m_pad, Q)
     if large_m:
         # Keep the mins in the kernel's (m, Q) layout as long as possible:
         # reduce superblocks natively, then ONE transpose to (Q, m) for the
@@ -486,7 +532,7 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         if pad2:
             mins_t = jnp.concatenate(
                 [mins_t,
-                 jnp.full((pad2, Q), float(nbit + 1), jnp.float32)])
+                 jnp.full((pad2, Q), float(nbit + 1), mins_t.dtype)])
         msb = mins_t.reshape(-1, sub2, Q).min(axis=1).T      # (Q, m2) small
         mins = mins_t.T                                      # (Q, m_pad2)
     else:

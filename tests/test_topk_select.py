@@ -489,3 +489,35 @@ def test_pack_bits_serving_chunked_matches_direct(rng, monkeypatch):
         L = nbit // 32
         np.testing.assert_array_equal(
             direct.reshape(-1, L)[:N], direct_p.reshape(-1, L)[:N])
+
+
+def test_bf16_mins_exact_and_tail_mask(rng):
+    """bf16 mins output is bit-exact vs f32 for nbit <= 128 (all
+    half-integer distances < 256 sit inside bf16's mantissa), including
+    block-ragged N where only the LAST grid step runs the tail mask
+    (the round-4 pl.when hoist). Covers plain and packed kernels in
+    interpret mode."""
+    from concepthash_tpu.ops.topk_select import (pack_serving_gallery,
+                                                 subblock_min_dists_packed)
+
+    nbit, S, Q = 64, 8, 16
+    for N in (512, 389):                 # block-multiple and block-ragged
+        q = _signs(rng, Q, nbit)
+        db = _signs(rng, N, nbit).astype(np.int8)
+        f32 = np.asarray(subblock_min_dists(
+            jnp.asarray(q), jnp.asarray(db), subblock=S, block_rows=64,
+            interpret=True))
+        bf = np.asarray(subblock_min_dists(
+            jnp.asarray(q), jnp.asarray(db), subblock=S, block_rows=64,
+            interpret=True, out_dtype=jnp.bfloat16))
+        assert bf.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(f32, bf.astype(np.float32))
+
+        dbp, npad = pack_serving_gallery(jnp.asarray(db))
+        f32p = np.asarray(subblock_min_dists_packed(
+            jnp.asarray(q), dbp, subblock=S, interpret=True))
+        bfp = np.asarray(subblock_min_dists_packed(
+            jnp.asarray(q), dbp, subblock=S, interpret=True,
+            out_dtype=jnp.bfloat16))
+        assert bfp.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(f32p, bfp.astype(np.float32))
