@@ -25,7 +25,10 @@ multi-iteration NumPy measure — superseded.) The reference has no published
 retrieval numbers (SURVEY.md §6). North star (BASELINE.json): >10x CPU
 retrieval QPS; speed-of-light encode. The headline qps rides approx_min_k
 (recall_target 0.95); the JSON carries exact_topk_qps and a measured
-recall_at_100 beside it.
+recall_at_100 beside it, plus relay_rtt_ms (per-dispatch relay round-trip —
+the headline is 4 dispatches/iter, so a slow relay mode deflates it ~5x
+independent of the device) and retrieval_qps_device_loop (same workload
+fused into one dispatch: the RTT-immune device-throughput number).
 
 Usage: python bench.py [--smoke]   (--smoke: tiny sizes, CPU-safe, for CI)
 """
@@ -82,6 +85,59 @@ def bench_retrieval(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
                 for s in range(0, n_q, chunk)]
 
     sec = time_it(run, warmup=2, iters=10)  # relay timing is noisy; average more
+    return n_q / sec
+
+
+def bench_relay_rtt(jnp, jax, iters: int = 10) -> float:
+    """Median round-trip of one tiny dispatch + host fetch through the TPU
+    relay, in ms. Pure environment diagnostic: the r02 record was taken at
+    ~1-2ms RTT, the r4 rehearsal at ~30ms — a 5x swing that dominates any
+    stage whose per-iter wall time is small (the 1M headline is 4 dispatches
+    per iter). Recording it makes cross-round headline comparisons
+    interpretable; retrieval_qps_device_loop is the RTT-immune companion."""
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.ones((8, 128))
+    np.asarray(f(x)[0, :1])  # compile + first-connect
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(f(x)[0, :1])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1000.0)
+
+
+def bench_retrieval_device_loop(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
+                                topk: int = 100, chunk: int = 512,
+                                repeats: int = 8):
+    """Same workload as the headline (bench_retrieval: n_q queries in
+    `chunk`-row chunks over an n_db sign gallery, approx top-k) but the
+    chunk loop AND `repeats` whole-workload repetitions run ON DEVICE inside
+    one jitted dispatch, so per-dispatch relay overhead is amortized to
+    ~1/(repeats*nchunks) instead of paid per chunk. This is the device
+    throughput number; headline minus this is relay/dispatch overhead.
+    The repeat loop rolls the query matrix by the iteration index so XLA
+    cannot hoist the distance computation out of the loop, and threads the
+    result into an accumulator so nothing is dead code."""
+    from concepthash_tpu.ops.retrieval import retrieve_topk
+
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(np.sign(rng.standard_normal((n_db, nbit))), jnp.bfloat16)
+    q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
+    nchunks = max(1, n_q // chunk)
+
+    import jax as _jax
+
+    @_jax.jit
+    def run(q):
+        def rep(i, acc):
+            qi = jnp.roll(q, i, axis=0)          # varies per repeat: no LICM
+            qs = qi.reshape(nchunks, -1, nbit)
+            _, idx = _jax.lax.map(
+                lambda qc: retrieve_topk(qc, db, k=topk), qs)
+            return acc + idx.astype(jnp.int32).sum()
+        return _jax.lax.fori_loop(0, repeats, rep, jnp.int32(0))
+
+    sec = time_it(lambda: run(q), warmup=1, iters=2) / repeats
     return n_q / sec
 
 
@@ -533,6 +589,12 @@ def main():
         "train_img_per_s_b1024": None,
         "train_chunk": 4 if tiny else 16,
         "tpu_relay_down": relay_down,
+        # relay round-trip per dispatch+fetch (environment diagnostic: the
+        # headline pays ~4 dispatches/iter; r02 ran at ~1-2ms, r4 at ~30ms)
+        "relay_rtt_ms": None,
+        # headline workload with chunk loop + repeats fused on device in ONE
+        # dispatch — the RTT-immune device-throughput companion number
+        "retrieval_qps_device_loop": None,
         # approx_min_k serving tradeoff (headline qps is the approximate
         # path; exact_topk_qps is the deterministic one)
         "recall_at_100": None,
@@ -639,9 +701,19 @@ def main():
         result["exact_topk_qps"] = round(
             bench_retrieval(jnp, jax, n_db, n_q, exact=True), 1)
 
+    def _rtt():
+        result["relay_rtt_ms"] = round(bench_relay_rtt(jnp, jax), 2)
+
+    stage("relay_rtt", 15, _rtt)
     stage("retrieval", 120, _retrieval)
     stage("cpu_baseline", 90, _cpu)
     emit()  # headline is now on stdout whatever happens later
+
+    def _retrieval_device():
+        result["retrieval_qps_device_loop"] = round(
+            bench_retrieval_device_loop(jnp, jax, n_db, n_q), 1)
+
+    stage("retrieval_device_loop", 90, _retrieval_device)
     stage("exact_topk", 120, _exact)
 
     def _serving_10m():

@@ -17,6 +17,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -60,3 +61,28 @@ def test_unreachable_probe_falls_back_without_hanging():
     rec = json.loads(lines[-1])
     assert rec["tpu_relay_down"] is True
     assert rec["backend"] in (None, "cpu")
+
+
+def test_device_loop_matches_headline_workload_semantics():
+    """bench_retrieval_device_loop runs the headline workload on-device
+    (fori repeats + lax.map over chunks) and must return a finite positive
+    qps on CPU at tiny sizes — guards the fused program against trace-time
+    regressions (roll/reshape/map composition) without needing the TPU."""
+    sys.path.insert(0, REPO)
+    import bench as B
+    import jax
+    import jax.numpy as jnp
+
+    qps = B.bench_retrieval_device_loop(jnp, jax, n_db=2048, n_q=256,
+                                        topk=10, chunk=128, repeats=2)
+    assert np.isfinite(qps) and qps > 0
+
+
+def test_relay_rtt_measure_runs_on_cpu():
+    sys.path.insert(0, REPO)
+    import bench as B
+    import jax
+    import jax.numpy as jnp
+
+    rtt = B.bench_relay_rtt(jnp, jax, iters=3)
+    assert np.isfinite(rtt) and rtt >= 0
