@@ -71,6 +71,9 @@ def maybe_load_pretrained_vision(backbone_cfg: dict, init_params: dict) -> dict:
         )
         from transformers import CLIPModel
 
+        from concepthash_tpu.utils.hf_offline import ensure_hf_reachable
+
+        ensure_hf_reachable(name)  # fast-fail -> random-init fallback
         hf = CLIPModel.from_pretrained(name)
         ported = vision_params_from_torch(hf.state_dict(),
                                           hf.config.vision_config.num_hidden_layers)

@@ -259,6 +259,9 @@ def load_pretrained_clip(model_id: str, with_text: bool = False):
     text_cfg, text_params]). Requires transformers + (cache or network)."""
     from transformers import CLIPModel
 
+    from concepthash_tpu.utils.hf_offline import ensure_hf_reachable
+
+    ensure_hf_reachable(model_id)  # seconds, not 5-retry backoff, offline
     model = CLIPModel.from_pretrained(model_id)
     sd = model.state_dict()
     vcfg = vision_config_from_hf(model.config.vision_config)

@@ -153,6 +153,9 @@ def embed_class_names(class_names: list, model_id: str = "openai/clip-vit-base-p
             text_params_from_torch,
         )
 
+        from concepthash_tpu.utils.hf_offline import ensure_hf_reachable
+
+        ensure_hf_reachable(model_id)  # fast-fail -> offline fallback
         hf = CLIPModel.from_pretrained(model_id)
         tcfg = text_config_from_hf(hf.config.text_config)
         text_tower = ClipTextTower(tcfg)
@@ -165,6 +168,9 @@ def embed_class_names(class_names: list, model_id: str = "openai/clip-vit-base-p
     if tokenizer is None:
         from transformers import CLIPTokenizerFast
 
+        from concepthash_tpu.utils.hf_offline import ensure_hf_reachable
+
+        ensure_hf_reachable(model_id, "tokenizer.json")
         tokenizer = CLIPTokenizerFast.from_pretrained(model_id)
 
     ids = tokenizer(prompts, padding=True, truncation=True, max_length=77,
