@@ -385,7 +385,16 @@ def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     lax.map over a pre-reshaped xs copies the operand into the loop), and
     every materialized output has a >=128-lane trailing dim: a stacked
     (chunks, chunk, nbit//32) map output gets tiled with its 2-element
-    minor axis padded to 128 lanes — 64x the data, a 49GB allocation."""
+    minor axis padded to 128 lanes — 64x the data, a 49GB allocation.
+
+    Speed (round 4, probe_pack_bits, v5e, 1e8x64 packed): the per-chunk
+    ``blk.reshape(-1, nbit)`` was 96% of the cost — it IS the 2x lane-pad
+    relayout copy in disguise (437ms/4.19M-code chunk; the shift-reduce on
+    the native 128-lane layout is 17ms). Codes sit in lane-major order
+    inside a stored row (pack_serving_gallery asserts P*nbit == 128), so
+    the 32-lane word grid of a (m, 128) block IS the code-major word
+    stream — pack straight off the stored layout, never reshape to
+    (N, nbit). Measured whole-gallery build at 1e8: 3,366ms -> ~390ms."""
     from concepthash_tpu.ops.hamming import pack_bits
 
     if nbit is None:
@@ -395,6 +404,18 @@ def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     P = lanes // nbit                       # codes per stored row (1 if plain)
     Nr = db_i8.shape[0]                     # stored rows
     N = Nr * P
+
+    if nbit % 32 == 0 and P * nbit == lanes:
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        nw = lanes // 32
+
+        def to_words(blk):  # (m, lanes) int8 -> (m*P, L) u32, NO relayout
+            bits = (blk > 0).astype(jnp.uint32).reshape(-1, nw, 32)
+            return ((bits << shifts).sum(-1).astype(jnp.uint32)
+                    .reshape(-1, L))
+    else:  # ragged lane tail (plain nbit not a 32-multiple): generic path
+        def to_words(blk):
+            return pack_bits(blk.reshape(-1, nbit))
 
     def chunk_rows(words):                  # (M, L) -> (M/S, S*L), zero-pad
         pad = (-words.shape[0]) % subblock
@@ -409,19 +430,18 @@ def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     chunk_r = codes_per_chunk // P          # stored rows per chunk
     assert chunk_r > 0 and chunk_r * P % subblock == 0
     if Nr <= chunk_r:
-        return chunk_rows(pack_bits(db_i8.reshape(-1, nbit)))
+        return chunk_rows(to_words(db_i8))
     nfull = Nr // chunk_r
 
     def body(i):
         blk = jax.lax.dynamic_slice(db_i8, (i * chunk_r, 0), (chunk_r, lanes))
-        return chunk_rows(pack_bits(blk.reshape(chunk_r * P, nbit)))
+        return chunk_rows(to_words(blk))
 
     out = jax.lax.map(body, jnp.arange(nfull)).reshape(
         nfull * (chunk_r * P // subblock), subblock * L)
     if Nr % chunk_r:
         out = jnp.concatenate(
-            [out,
-             chunk_rows(pack_bits(db_i8[nfull * chunk_r:].reshape(-1, nbit)))])
+            [out, chunk_rows(to_words(db_i8[nfull * chunk_r:]))])
     assert out.shape[0] == _cdiv(N, subblock)
     return out
 
