@@ -121,24 +121,23 @@ def bench_retrieval_device_loop(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     from concepthash_tpu.ops.retrieval import retrieve_topk
 
     rng = np.random.default_rng(0)
-    db = jnp.asarray(np.sign(rng.standard_normal((n_db, nbit))), jnp.bfloat16)
-    q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
     nchunks = max(1, n_q // chunk)
+    n_used = nchunks * min(chunk, n_q)           # trim a ragged query tail
+    db = jnp.asarray(np.sign(rng.standard_normal((n_db, nbit))), jnp.bfloat16)
+    q = jnp.asarray(np.sign(rng.standard_normal((n_used, nbit))), jnp.float32)
 
-    import jax as _jax
-
-    @_jax.jit
+    @jax.jit
     def run(q):
         def rep(i, acc):
             qi = jnp.roll(q, i, axis=0)          # varies per repeat: no LICM
             qs = qi.reshape(nchunks, -1, nbit)
-            _, idx = _jax.lax.map(
+            _, idx = jax.lax.map(
                 lambda qc: retrieve_topk(qc, db, k=topk), qs)
             return acc + idx.astype(jnp.int32).sum()
-        return _jax.lax.fori_loop(0, repeats, rep, jnp.int32(0))
+        return jax.lax.fori_loop(0, repeats, rep, jnp.int32(0))
 
     sec = time_it(lambda: run(q), warmup=1, iters=2) / repeats
-    return n_q / sec
+    return n_used / sec
 
 
 def pack_np(rng, n, nbit):

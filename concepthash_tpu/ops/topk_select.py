@@ -166,6 +166,12 @@ def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
         return _mins_reference(qi, db_packed.reshape(N, nbit), subblock,
                                m_pad, out_dtype)
 
+    if (not interpret and out_dtype == jnp.bfloat16
+            and (block_rows2 // spp) % 16):
+        # bf16 tiles are (16, 128): an out block whose row count isn't a
+        # 16-multiple would straddle sublane tiles across grid steps —
+        # unexercised Mosaic geometry; bf16 is an optimization, fall back
+        out_dtype = jnp.float32
     qc = _block_diag_queries(qi, P)                        # (P*Q, 128)
     out = pl.pallas_call(
         functools.partial(_mins_kernel_packed, nbit=nbit, P=P,
@@ -247,6 +253,11 @@ def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
                            and jax.default_backend() != "tpu"):
         return _mins_reference(qi, db_i8, subblock, m_pad, out_dtype)
 
+    if (not interpret and out_dtype == jnp.bfloat16
+            and (block_rows // subblock) % 16):
+        # see subblock_min_dists_packed: keep bf16 out blocks on (16, 128)
+        # tile boundaries (Q>1024 picks block_rows=512 -> 8-row blocks)
+        out_dtype = jnp.float32
     out = pl.pallas_call(
         functools.partial(_mins_kernel, nbit=nbit, subblock=subblock,
                           block_rows=block_rows, n_rows=N,
@@ -406,13 +417,10 @@ def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     N = Nr * P
 
     if nbit % 32 == 0 and P * nbit == lanes:
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        nw = lanes // 32
-
         def to_words(blk):  # (m, lanes) int8 -> (m*P, L) u32, NO relayout
-            bits = (blk > 0).astype(jnp.uint32).reshape(-1, nw, 32)
-            return ((bits << shifts).sum(-1).astype(jnp.uint32)
-                    .reshape(-1, L))
+            # pack_bits on the STORED last dim: its 32-lane word grid is
+            # already the code-major word stream when P*nbit == lanes
+            return pack_bits(blk).reshape(-1, L)
     else:  # ragged lane tail (plain nbit not a 32-multiple): generic path
         def to_words(blk):
             return pack_bits(blk.reshape(-1, nbit))

@@ -408,6 +408,9 @@ def embed_class_name_tokens(class_names: list,
     if prompt_prefix and not prompt_prefix.endswith(" "):
         prompt_prefix += " "
     prompts = [f"{prompt_prefix}{n}{prompt_postfix}" for n in class_names]
+    from concepthash_tpu.utils.hf_offline import ensure_hf_reachable
+
+    ensure_hf_reachable(model_id)  # fast-fail -> FILIP pseudo-token fallback
     hf = CLIPModel.from_pretrained(model_id)
     tcfg = text_config_from_hf(hf.config.text_config)
     tower = ClipTextTower(tcfg)

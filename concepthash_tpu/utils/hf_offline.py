@@ -28,11 +28,22 @@ def ensure_hf_reachable(model_id: str, filename: str = "config.json") -> None:
             return  # locally cached: offline load will succeed
     except Exception:  # pragma: no cover - hub internals changed
         pass
+    import os
+
     try:
         # DNS-level probe: NXDOMAIN / no-resolver environments fail in
         # milliseconds (vs from_pretrained's 5-retry backoff). A resolvable
         # but slow hub proceeds to the normal retry path by design.
         socket.getaddrinfo("huggingface.co", 443)
+        # resolve-but-blocked egress is the other offline shape: a short
+        # direct-connect probe catches it. When a proxy is configured the
+        # direct connect legitimately fails while from_pretrained succeeds
+        # through the proxy — skip the probe and let the hub client decide.
+        if not any(os.environ.get(k) for k in
+                   ("HTTPS_PROXY", "https_proxy", "HTTP_PROXY",
+                    "http_proxy", "ALL_PROXY", "all_proxy")):
+            socket.create_connection(("huggingface.co", 443),
+                                     timeout=2.0).close()
     except OSError as e:
         raise OSError(
             f"HF hub unreachable and {model_id!r} not in the local cache "

@@ -15,6 +15,12 @@ def test_raises_fast_when_unreachable_and_uncached(monkeypatch):
     def no_dns(*a, **k):
         raise socket.gaierror(-2, "Name or service not known")
 
+    # pin the uncached branch: a host with a real HF cache mount would
+    # otherwise return before the DNS probe and never raise
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "try_to_load_from_cache",
+                        lambda *a, **k: None)
     monkeypatch.setattr(socket, "getaddrinfo", no_dns)
     t0 = time.perf_counter()
     with pytest.raises(OSError, match="unreachable"):
@@ -38,6 +44,43 @@ def test_noop_when_cached(monkeypatch, tmp_path):
     ensure_hf_reachable("openai/clip-vit-base-patch32")  # no raise
 
 
-def test_noop_when_dns_resolves(monkeypatch):
+def test_noop_when_dns_resolves_and_connects(monkeypatch):
+    class _Sock:
+        def close(self):
+            pass
+
     monkeypatch.setattr(socket, "getaddrinfo", lambda *a, **k: [])
+    monkeypatch.setattr(socket, "create_connection", lambda *a, **k: _Sock())
+    ensure_hf_reachable("some/model")  # no raise
+
+
+def test_raises_when_resolvable_but_blocked(monkeypatch):
+    """Resolver works but egress is blocked (firewall/sandbox): must still
+    fast-fail instead of paying the retry backoff."""
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "try_to_load_from_cache",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(socket, "getaddrinfo", lambda *a, **k: [])
+
+    def refused(*a, **k):
+        raise socket.timeout("connect timed out")
+
+    monkeypatch.setattr(socket, "create_connection", refused)
+    monkeypatch.delenv("HTTPS_PROXY", raising=False)
+    monkeypatch.delenv("https_proxy", raising=False)
+    with pytest.raises(OSError, match="unreachable"):
+        ensure_hf_reachable("some/model")
+
+
+def test_proxy_env_skips_connect_probe(monkeypatch):
+    """With a proxy configured, a failing DIRECT connect must not block the
+    hub client (which connects through the proxy)."""
+    monkeypatch.setattr(socket, "getaddrinfo", lambda *a, **k: [])
+
+    def boom(*a, **k):
+        raise AssertionError("direct connect must not be probed")
+
+    monkeypatch.setattr(socket, "create_connection", boom)
+    monkeypatch.setenv("HTTPS_PROXY", "http://proxy:3128")
     ensure_hf_reachable("some/model")  # no raise
