@@ -74,6 +74,12 @@ def _block_diag_queries(qi, P: int):
         P * Q, P * nbit)
 
 
+# VMEM budget for the packed kernel's per-chunk (chunk2, P*Q) int32 sim
+# tile; 4MB leaves room for the db block + double buffering under the 16MB
+# scoped-vmem limit (P*Q=1024 measured 76KB over the limit at 8MB tiles)
+_SIM_TILE_BYTES = 4 << 20
+
+
 def _mins_kernel_packed(qc_ref, db_ref, o_ref, *, nbit: int, P: int,
                         subblock: int, block_rows2: int, n_rows2: int,
                         Q: int, chunk2: int, out_dtype):
@@ -146,7 +152,12 @@ def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
     N = Np * P
     assert subblock % P == 0
     spp = subblock // P
-    chunk2 = 2048 if (P * Q) <= 1024 else 512
+    # size the inner chunk so the (chunk2, P*Q) int32 sim tile stays within
+    # ~4MB of VMEM — the old step heuristic (2048 below P*Q=1024) left the
+    # tile at 8MB at exactly P*Q=1024 (nbit=32, Q=256), 76KB past the 16MB
+    # scoped-vmem limit once double buffering is counted (measured OOM)
+    budget_rows = (_SIM_TILE_BYTES // 4 // max(P * Q, 1)) // spp * spp
+    chunk2 = max(spp, min(2048, budget_rows))
     chunk2 = max(spp, min(chunk2, _cdiv(Np, spp) * spp))   # tiny-gallery safe
     if block_rows2 is None:
         block_rows2 = 4 * chunk2

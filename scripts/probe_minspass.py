@@ -16,7 +16,8 @@ def timeit(f, *a, iters=3):
     fence(o[0] if isinstance(o, (tuple, list)) else o)
     return (time.perf_counter() - t0) / iters
 
-N, Q, nbit, k = int(float(os.environ.get("N_DB", 1e8))), 256, 64, 100
+N, Q, k = int(float(os.environ.get("N_DB", 1e8))), 256, 100
+nbit = int(os.environ.get("NBIT", 64))   # 32/64/128 (packed layout widths)
 nb = max(1, N // 2_000_000)
 db = jax.jit(lambda: jax.lax.map(
     lambda kk: ((jax.random.bits(kk, (N // nb * nbit // 128, 128),
