@@ -342,7 +342,7 @@ class RetrievalExperiment:
             batches = self._stack_chunk([b for b, _ in pending])
             self.profiler.step_start()
             self.state, metrics = self.train_multi_step(
-                self.state, shard_batch_chunk(batches, self.mesh))
+                self.state, self._place_chunk(batches))
             self.profiler.step_end()
             meters.update_device(metrics, [n for _, n in pending])
             pending.clear()
@@ -383,19 +383,25 @@ class RetrievalExperiment:
         erratically on lazily-backed VM memory (measured 0.07s-33s for the
         same np.stack on this host) and churn the allocator everywhere else.
 
-        DOUBLE-buffered (two buffers per key, alternating): JAX/PJRT does not
-        guarantee the host buffer is consumed before device_put returns (H2D
-        transfers are async and the CPU backend may zero-copy alias numpy
-        buffers), so refilling the same buffer while the previous chunk's
-        transfer is in flight could corrupt batches. By the time buffer A is
-        reused, the step that consumed buffer B has been dispatched AND the
-        A-step's result has been awaited by the meters — A's transfer is
-        long since complete."""
+        DOUBLE-buffered (two buffers per key, alternating) and FENCED:
+        JAX/PJRT does not guarantee the host buffer is consumed before
+        device_put returns (H2D transfers are async and the CPU backend may
+        zero-copy alias numpy buffers), and dispatches queue without
+        bounding how many transfers are in flight — so before refilling a
+        buffer we block_until_ready the device arrays placed from it two
+        chunks ago (recorded by _place_chunk). At steady state that
+        transfer completed long ago and the wait is free; the fence only
+        bites when the host outruns the device by >2 chunks — exactly when
+        the old code could have corrupted a batch."""
         bufs = getattr(self, "_chunk_bufs", None)
         if bufs is None:
             bufs = self._chunk_bufs = {}
             self._chunk_flip = 0
+            self._chunk_inflight = {}
         self._chunk_flip ^= 1
+        prev = self._chunk_inflight.pop(self._chunk_flip, None)
+        if prev is not None:
+            jax.block_until_ready(prev)
         out = {}
         for k in items[0]:
             arrs = [np.asarray(b[k]) for b in items]
@@ -408,6 +414,13 @@ class RetrievalExperiment:
             np.stack(arrs, out=buf)
             out[k] = buf
         return out
+
+    def _place_chunk(self, batches: dict) -> dict:
+        """Device-place a stacked chunk and record the placed arrays against
+        the buffer generation that produced them (the _stack_chunk fence)."""
+        placed = shard_batch_chunk(batches, self.mesh)
+        self._chunk_inflight[self._chunk_flip] = placed
+        return placed
 
     # ------------------------------------------------------------------- eval
     def encode_split(self, split: str):
@@ -426,7 +439,7 @@ class RetrievalExperiment:
         def flush_chunk():
             batches = self._stack_chunk([b for b, _ in pending])
             codes_k, metrics_k = self.eval_multi_step(
-                self.state, shard_batch_chunk(batches, self.mesh))
+                self.state, self._place_chunk(batches))
             ns = [n for _, n in pending]
             if metrics_k:
                 meters.update_device(metrics_k, ns)

@@ -288,7 +288,12 @@ def soften_sim(S):
     infeasible beyond 2 classes and training collapses at class counts
     past the tiny protocol (PARITY.md, medium matrix adsh row). NumPy or
     jax arrays both work; returns the same backend's array."""
-    r = S.sum() / (1.0 - S).sum()
+    neg_mass = (1.0 - S).sum()
+    # all-positive S (single-class batch/degenerate omega): r = sum/0 would
+    # NaN the loss AND solve_dcc (sign(NaN) corrupts every updated bit).
+    # Any finite r is an identity on an all-(+1) S (1*(1+r) - r = 1), so
+    # guarding the denominator alone suffices — and keeps the backend.
+    r = S.sum() / (neg_mass + (neg_mass == 0))
     return S * (1.0 + r) - r
 
 

@@ -288,6 +288,7 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
         # sign->int8->packed conversion is loop-invariant (hoisted out of
         # the query map); ~0.2ms of traffic at 1M x 64.
         use_kernel = (method == "mxu" and 128 % nbit == 0
+                      and nbit % 32 == 0  # bit-pack words are 32-lane
                       and N % (128 // nbit) == 0 and N > 65536
                       and jax.default_backend() == "tpu")
         if use_kernel:

@@ -420,7 +420,17 @@ def pack_bits_serving(db_i8, nbit: int | None = None, subblock: int = 64):
     from concepthash_tpu.ops.hamming import pack_bits
 
     if nbit is None:
-        nbit = db_i8.shape[1] if db_i8.shape[1] != 128 else 64
+        if db_i8.shape[1] == 128:
+            raise ValueError(
+                "a 128-lane gallery is ambiguous (plain nbit=128 vs the "
+                "packed layout of any nbit dividing 128) — pass nbit "
+                "explicitly")
+        nbit = db_i8.shape[1]
+    if nbit % 32 != 0:
+        raise ValueError(
+            f"serving bit-pack needs nbit to be a 32-multiple (uint32 "
+            f"words), got {nbit}; the sign-row rescore path handles other "
+            f"widths")
     L = nbit // 32
     lanes = db_i8.shape[1]
     P = lanes // nbit                       # codes per stored row (1 if plain)
@@ -517,7 +527,12 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     N = db_i8.shape[0] * P
     if cap is None:
         cap = 512
-    qi = jnp.sign(q_signs).astype(jnp.int8)
+    # strict ±1 (0 -> -1, the torch.sign-as-negative bit convention of
+    # pack_bits): jnp.sign would keep exact-0 components as 0, making the
+    # kernel mins (0 contributes sim 0) and the bit-packed popcount rescore
+    # (0 packs as -1) disagree by ±0.5 per zero bit — the certificate could
+    # then validate a ranking inconsistent with its own theta_next.
+    qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)
     m_real = _cdiv(N, subblock)
     nv = N if n_valid is None else n_valid
 
@@ -536,7 +551,7 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         return -neg, idx, jnp.array(True)
 
     large_m = m_real > _INNER_DIRECT_MAX
-    if large_m and db_bits is None:
+    if large_m and db_bits is None and nbit % 32 == 0:
         # the sign-row rescore below reshapes the WHOLE gallery into
         # subblock chunks — a 6.4GB relayout copy at 1e8x64 (the round-4
         # OOM dump's reshape.29); the bit-pack is 8x smaller, memory-safe
@@ -544,7 +559,7 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
         # auto-derived at serving scale: pad rows rescore as popcount(q)
         # under bits (not the sign path's nbit/2), so pad-carrying
         # galleries must pass n_valid — the documented serving contract.
-        db_bits = pack_bits_serving(db_i8, nbit)
+        db_bits = pack_bits_serving(db_i8, nbit, subblock=subblock)
     # bf16 mins are EXACT for nbit <= 128 (all half-integer distances and
     # the nbit+1 pad value are < 256, inside bf16's 8-bit mantissa) and
     # halve the kernel's mins write + the superblock reduce + the transpose

@@ -51,10 +51,14 @@ class Tracker:
         self.enabled = bool(cfg)
         self.path = os.path.join(logdir, "events.jsonl")
         self._pending: dict = {}
+        # ALWAYS take over the module hook slot: a disabled run must
+        # deregister any earlier run's tracker, or the hooks would keep
+        # appending the new run's events to the finished run's file
+        # (multi-run processes: scripts/runbook_pretrained.py)
+        global _active_tracker
+        _active_tracker = self if self.enabled else None
         if self.enabled:
             logging.info("tracker enabled -> %s", self.path)
-            global _active_tracker
-            _active_tracker = self
 
     def log(self, d: dict):
         if self.enabled:

@@ -358,3 +358,20 @@ def test_soften_sim_matches_reference_rebalance():
     n_pos, n_neg = (S > 0).sum(), (S < 0).sum()
     np.testing.assert_allclose(neg, -n_pos / n_neg, rtol=1e-5)
     assert neg.max() < 0 and neg.min() > -0.25  # near-orthogonal, not -1
+
+
+def test_soften_sim_all_positive_is_finite_identity():
+    """Single-class batches make S all +1; the rebalance ratio r=sum/0
+    would NaN the adsh loss and solve_dcc (round-4 review finding). The
+    guard keeps soften_sim an identity there and leaves mixed S unchanged."""
+    from concepthash_tpu.losses.baselines import soften_sim
+
+    S = np.ones((4, 4), np.float32)
+    np.testing.assert_allclose(np.asarray(soften_sim(S)), S)
+    # negative-dominated S (3 singleton classes): r = -3/12 = -0.25,
+    # negatives soften -1 -> -(1+2r) = -0.5, positives stay exactly +1
+    S2 = (np.eye(3, dtype=np.float32) * 2.0) - 1.0
+    out = np.asarray(soften_sim(S2))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.diag(out), 1.0)
+    np.testing.assert_allclose(out[0, 1], -0.5)

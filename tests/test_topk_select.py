@@ -521,3 +521,32 @@ def test_bf16_mins_exact_and_tail_mask(rng):
             out_dtype=jnp.bfloat16))
         assert bfp.dtype == jnp.bfloat16
         np.testing.assert_array_equal(f32p, bfp.astype(np.float32))
+
+
+def test_zero_component_queries_consistent(rng):
+    """Exact-0 query components follow the pack_bits 0-as-negative
+    convention EVERYWHERE inside exact_topk_minspass (kernel sims, sign
+    rescore, bit-packed rescore, theta) — a jnp.sign qi left 0s that made
+    the popcount rescore disagree with the mins by ±0.5/zero-bit and let
+    the certificate validate a wrong ranking (round-4 review finding)."""
+    from concepthash_tpu.ops.topk_select import exact_topk_minspass
+
+    db = _signs(rng, 512, 64).astype(np.int8)
+    q = rng.choice([-1.0, 0.0, 1.0], size=(16, 64)).astype(np.float32)
+    qm = np.where(q > 0, 1.0, -1.0)
+    dist = 0.5 * (64 - qm @ db.T.astype(np.float32))
+    oid = np.argsort(dist, 1, kind="stable")[:, :5]
+    od = np.take_along_axis(dist, oid, 1)
+    d, i, v = exact_topk_minspass(jnp.asarray(q), jnp.asarray(db), 5,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(d), od)
+    np.testing.assert_array_equal(np.asarray(i), oid)
+
+
+def test_pack_bits_serving_rejects_unsupported_widths():
+    from concepthash_tpu.ops.topk_select import pack_bits_serving
+
+    with pytest.raises(ValueError, match="32-multiple"):
+        pack_bits_serving(jnp.ones((8, 16), jnp.int8), 16)
+    with pytest.raises(ValueError, match="ambiguous"):
+        pack_bits_serving(jnp.ones((8, 128), jnp.int8))  # no explicit nbit

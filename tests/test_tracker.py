@@ -48,3 +48,17 @@ def test_module_hooks_delegate_to_active_tracker(tmp_path):
     wandb_commit()
     with open(t.path) as f:
         assert json.loads(f.readline()) == {"x": 1}
+
+
+def test_disabled_tracker_deregisters_previous(tmp_path):
+    """A wandb=false run after a wandb=true run in the same process must
+    stop the module hooks from appending to the finished run's file."""
+    import concepthash_tpu.utils.logger as L
+
+    t1 = L.Tracker(True, str(tmp_path / "run1"))
+    assert L._active_tracker is t1
+    L.Tracker(False, str(tmp_path / "run2"))
+    assert L._active_tracker is None
+    L.wandb_log({"x": 1})   # must be a no-op, not an append to run1
+    L.wandb_commit()
+    assert not (tmp_path / "run1" / "events.jsonl").exists()
