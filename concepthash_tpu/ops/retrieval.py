@@ -70,18 +70,33 @@ def compute_distances(query_codes, db_codes, dist_metric: str = "hamming",
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dist_metric", "threshold", "Rs",
-                                             "ks", "drop_first", "use_rel"))
+                                             "ks", "drop_first", "use_rel",
+                                             "prep"))
 def _chunk_stats(q_codes, q_labels, q_valid, db_codes, db_labels,
                  dist_metric: str, threshold: float,
                  Rs: tuple, ks: tuple, drop_first: bool,
-                 rel_chunk=None, use_rel: bool = False):
+                 rel_chunk=None, use_rel: bool = False, prep: str = "none"):
     """Per-query-chunk metrics. Returns dict of (C,)-shaped arrays.
 
-    Rs: tuple of cutoff ranks for AP; ks: precision/recall cutoffs.
-    rel_chunk (use_rel=True): explicit (C, N) relevance overriding label
-    matching (GLDv2-style landmark ground truth, SURVEY.md §2.6).
+    Rs: tuple of cutoff ranks for AP; ks: precision/recall cutoffs
+    (P@k divides by min(k, n) — the truncated-precision definition the
+    NumPy oracle pins). rel_chunk (use_rel=True): explicit (C, N)
+    relevance overriding label matching (GLDv2-style landmark ground
+    truth, SURVEY.md §2.6). prep: caller pre-applied db transform —
+    'hamming_packed' (db_codes is the (N, L) uint32 bit-pack) or
+    'cosine_pre' (rows pre-normalized); avoids redoing O(N*nbit) db work
+    per query chunk.
     """
-    dist = compute_distances(q_codes, db_codes, dist_metric, threshold)
+    if prep == "hamming_packed":
+        dist = H.hamming_packed(H.pack_bits(q_codes), db_codes)
+    elif prep == "cosine_pre":
+        qn = q_codes / (jnp.linalg.norm(q_codes, axis=-1, keepdims=True)
+                        + 1e-12)
+        dist = 1.0 - jnp.dot(qn, db_codes.T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    else:
+        dist = compute_distances(q_codes, db_codes, dist_metric, threshold)
     dist = dist.astype(jnp.float32)
     if use_rel:
         rel = rel_chunk.astype(bool)
@@ -143,18 +158,41 @@ def calculate_mAP(db_codes, db_labels, query_codes, query_labels, R=-1,
     """
     db_codes = jnp.asarray(db_codes, dtype=jnp.float32)
     query_codes = jnp.asarray(query_codes, dtype=jnp.float32)
-    db_labels = _as_onehot(db_labels)
-    query_labels = _as_onehot(query_labels)
+
+    Rs = tuple(R) if isinstance(R, (list, tuple)) else (R,)
+    ks = tuple(int(k) for k in (PRs or ()))
+    if query_codes.shape[0] == 0 or db_codes.shape[0] == 0:
+        # defined result for an empty split instead of a KeyError
+        mAP = [0.0] * len(Rs) if isinstance(R, (list, tuple)) else 0.0
+        return mAP, [0.0] * len(ks), [0.0] * len(ks)
+
+    # one-hot with a SHARED class count: inferring per-array from max()
+    # crashes on a query split that lacks the top class id
+    nclass = _shared_nclass(db_labels, query_labels)
+    db_labels = _as_onehot(db_labels, nclass)
+    query_labels = _as_onehot(query_labels, nclass)
 
     if zero_mean:
         mean = db_codes.mean(axis=0, keepdims=True)
         db_codes = db_codes - mean
         query_codes = query_codes - mean
 
-    Rs = tuple(R) if isinstance(R, (list, tuple)) else (R,)
-    ks = tuple(int(k) for k in (PRs or ()))
     nq, ndb = query_codes.shape[0], db_codes.shape[0]
     chunk = chunk_size or _default_chunk(nq, ndb)
+
+    # hoist per-chunk-invariant db preprocessing out of _chunk_stats: the
+    # bit-pack (hamming) / normalization (cosine) of the FULL database was
+    # being recomputed inside every chunk call — O(N*nbit) work repeated
+    # nq/chunk times
+    prep = "none"
+    if dist_metric == "hamming" and threshold == 0.0:
+        db_codes = jax.jit(H.pack_bits)(db_codes)
+        prep = "hamming_packed"
+    elif dist_metric == "cosine":
+        db_codes = jax.jit(
+            lambda d: d / (jnp.linalg.norm(d, axis=-1, keepdims=True)
+                           + 1e-12))(db_codes)
+        prep = "cosine_pre"
 
     acc: dict[str, float] = {}
     for s in range(0, nq, chunk):
@@ -174,7 +212,8 @@ def calculate_mAP(db_codes, db_labels, query_codes, query_labels, R=-1,
         stats = _chunk_stats(qc, ql, jnp.asarray(valid), db_codes, db_labels,
                              dist_metric, float(threshold), Rs, ks,
                              bool(remove_first_retrieved),
-                             rel_chunk=rc, use_rel=rc is not None)
+                             rel_chunk=rc, use_rel=rc is not None,
+                             prep=prep)
         for k, v in stats.items():
             acc[k] = acc.get(k, 0.0) + float(jnp.sum(v))
 
@@ -200,9 +239,9 @@ def calculate_pr_curve(db_codes, db_labels, query_codes, query_labels,
                        **_ignored):
     """PR curve over log-spaced rank cutoffs. Returns (recalls, precisions, Rs)
     (reference call site: test_hashing.py:153-162)."""
-    ndb = np.asarray(db_codes).shape[0]
+    ndb = db_codes.shape[0] if hasattr(db_codes, "shape") else len(db_codes)
     n = ndb - 1 if remove_first_retrieved else ndb
-    Rs = sorted(set(np.unique(np.geomspace(1, n, num_points).astype(int)).tolist()))
+    Rs = np.unique(np.geomspace(1, n, num_points).astype(int)).tolist()
     _, recalls, precisions = calculate_mAP(
         db_codes, db_labels, query_codes, query_labels, R=-1,
         dist_metric=dist_metric, PRs=tuple(Rs), threshold=threshold,
@@ -210,11 +249,29 @@ def calculate_pr_curve(db_codes, db_labels, query_codes, query_labels,
     return recalls, precisions, list(Rs)
 
 
-def _as_onehot(labels):
+def _shared_nclass(*label_arrays):
+    """Class count consistent across all given label arrays (max class id
+    of the 1-d ones, width of the one-hot ones)."""
+    n = 0
+    for a in label_arrays:
+        a = jnp.asarray(a)
+        if a.ndim == 1:
+            if a.shape[0]:
+                n = max(n, int(a.max()) + 1)
+        else:
+            n = max(n, a.shape[1])
+    return n
+
+
+def _as_onehot(labels, nclass: int | None = None):
     labels = jnp.asarray(labels)
     if labels.ndim == 1:
-        nclass = int(labels.max()) + 1
+        if nclass is None:
+            nclass = int(labels.max()) + 1
         labels = jax.nn.one_hot(labels, nclass, dtype=jnp.float32)
+    elif nclass is not None and labels.shape[1] < nclass:
+        # widen a narrower one-hot/multi-hot to the shared class count
+        labels = jnp.pad(labels, ((0, 0), (0, nclass - labels.shape[1])))
     return labels.astype(jnp.float32)
 
 
@@ -257,8 +314,13 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
     def _dist(qc):
         if method == "mxu":
             nbit = qc.shape[-1]
-            sq = jnp.sign(qc).astype(jnp.bfloat16)
-            sim = jax.lax.dot_general(sq, db.astype(jnp.bfloat16),
+            # strict ±1 (0 -> -1): the pack_bits convention calculate_mAP
+            # scores with, and what keeps every exit of the exact path
+            # (mins kernel, its certificate fallback, popcount rescore)
+            # returning identical distances for exact-0 code components
+            sq = jnp.where(qc > 0, 1, -1).astype(jnp.bfloat16)
+            sdb = jnp.where(db > 0, 1, -1).astype(jnp.bfloat16)
+            sim = jax.lax.dot_general(sq, sdb,
                                       (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
             return _mask(0.5 * (nbit - sim))
@@ -295,7 +357,7 @@ def retrieve_topk(query_codes, db, k: int = 100, method: str = "mxu",
             from concepthash_tpu.ops.topk_select import (exact_topk_minspass,
                                                          pack_bits_serving)
 
-            db_i8 = jnp.sign(db).astype(jnp.int8)
+            db_i8 = jnp.where(db > 0, 1, -1).astype(jnp.int8)  # strict ±1
             packed_db = db_i8.reshape(N * nbit // 128, 128)
             # bit-packed rescore copy: one extra gallery read per call for
             # an 8x smaller candidate gather (loop-invariant, hoisted out
@@ -450,7 +512,9 @@ def retrieve_topk_streaming(query_codes, db_signs, k: int = 100,
     assert N % db_block == 0, "pad the gallery to a db_block multiple"
     assert db_block % P == 0
     nblocks = N // db_block
-    qi = jnp.sign(query_codes).astype(jnp.int8)
+    # strict ±1 (0 -> -1): consistent with the mins-kernel path and the
+    # pack_bits convention (see retrieve_topk._dist)
+    qi = jnp.where(query_codes > 0, 1, -1).astype(jnp.int8)
 
     # fori_loop + dynamic_slice (NOT scan over a reshaped xs: XLA copies the
     # scan operand into the loop — a second whole-gallery allocation that

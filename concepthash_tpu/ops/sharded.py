@@ -76,9 +76,14 @@ def make_sharded_topk(mesh: Mesh, k: int, method: str = "mxu",
         shard_rows = db_shard.shape[0] * p_pack
         local_valid = (None if n_valid is None else
                        jnp.clip(n_valid - shard * shard_rows, 0, shard_rows))
-        if streaming_block:
+        if streaming_block or p_pack > 1:
+            # packed shards always take the streaming path (one whole-shard
+            # block when no streaming_block was asked for): the dense
+            # retrieve_topk matmul contracts over nbit and cannot read the
+            # 128-lane packed layout
             d, idx = retrieve_topk_streaming(q, db_shard, k=k,
-                                             db_block=streaming_block,
+                                             db_block=(streaming_block
+                                                       or shard_rows),
                                              exact=exact, n_valid=local_valid)
         else:
             d, idx = retrieve_topk(q, db_shard, k=k, method=method,

@@ -54,7 +54,10 @@ def pack_serving_gallery(db_signs):
     — the same convention as ops/sharded.shard_gallery padding; callers
     account for them via the returned count.
     """
-    db = jnp.sign(jnp.asarray(db_signs)).astype(jnp.int8)
+    # strict ±1 (0 -> -1, the pack_bits convention): keeps the kernel's
+    # dot-sims consistent with the bit-packed popcount rescore for codes
+    # carrying exact-0 components
+    db = jnp.where(jnp.asarray(db_signs) > 0, 1, -1).astype(jnp.int8)
     N, nbit = db.shape
     assert 128 % nbit == 0, "nbit must divide 128 for the packed layout"
     P = 128 // nbit
@@ -169,7 +172,7 @@ def subblock_min_dists_packed(q_signs, db_packed, subblock: int = 64,
     assert block_rows2 % chunk2 == 0 and chunk2 % spp == 0, (
         block_rows2, chunk2, spp)
     grid = _cdiv(Np, block_rows2)
-    qi = jnp.sign(q_signs).astype(jnp.int8)
+    qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)  # strict ±1
     m_pad = grid * (block_rows2 // spp)
 
     if not _HAS_PALLAS or (not interpret
@@ -255,7 +258,7 @@ def subblock_min_dists(q_signs, db_i8, subblock: int = 64,
         block_rows = 2048 if Q <= 1024 else 512
     assert block_rows % subblock == 0
     grid = _cdiv(N, block_rows)
-    qi = jnp.sign(q_signs).astype(jnp.int8)
+    qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)  # strict ±1
     m_pad = grid * (block_rows // subblock)
 
     # Mosaic lowering needs a real TPU; off-TPU (CPU test mesh) use the

@@ -145,3 +145,30 @@ def test_sharded_streaming_packed_exact(rng, mesh):
     full = 0.5 * (nbit - q @ db.T)
     got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
     np.testing.assert_allclose(got, np.asarray(d_sh), atol=1e-4)
+
+
+def test_sharded_packed_dense_path(rng, mesh):
+    """A PACKED gallery with streaming_block=0 (the 'dense' configuration):
+    the dense retrieve_topk cannot read the 128-lane layout, so local_fn
+    must route through a one-block streaming call instead of crashing at
+    trace (round-4 review finding). Exact and approximate both."""
+    from concepthash_tpu.ops.topk_select import pack_serving_gallery
+
+    N, Q, nbit, k = 4096, 8, 32, 10
+    db = np.sign(rng.standard_normal((N, nbit))).astype(np.float32)
+    db[db == 0] = 1.0
+    q = np.sign(rng.standard_normal((Q, nbit))).astype(np.float32)
+    packed, n_pad = pack_serving_gallery(db)
+    assert n_pad == N
+
+    db_sh, _ = shard_gallery(np.asarray(packed), mesh)
+    for exact in (True, False):
+        fn = make_sharded_topk(mesh, k=k, exact=exact)   # streaming_block=0
+        d_sh, idx_sh = fn(jnp.asarray(q), db_sh)
+        d_ref, _ = retrieve_topk(q, db, k=k, method="mxu", exact=True)
+        if exact:
+            np.testing.assert_array_equal(np.sort(np.asarray(d_sh), 1),
+                                          np.sort(np.asarray(d_ref), 1))
+        full = 0.5 * (nbit - q @ db.T)
+        got = np.take_along_axis(full, np.asarray(idx_sh), axis=1)
+        np.testing.assert_allclose(got, np.asarray(d_sh), atol=1e-4)
