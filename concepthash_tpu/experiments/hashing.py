@@ -45,14 +45,20 @@ _AUGMENT_BY_TRANSFORM = {
 }
 
 
+def _pseudo_embeddings(class_names, dim: int = 512):
+    """Deterministic per-class pseudo-embeddings (no logging — callers that
+    loop per class warn once themselves)."""
+    out = [np.random.default_rng(zlib.crc32(n.encode())).standard_normal(dim)
+           for n in class_names]
+    return np.stack(out).astype(np.float32)
+
+
 def offline_text_embedder(class_names, dim: int = 512):
     """Deterministic per-class pseudo-embeddings for zero-egress environments
     (real language guidance needs the CLIP text checkpoint; loudly logged)."""
     logging.warning("CLIP text checkpoint unreachable — codebook falls back to "
                     "deterministic pseudo-embeddings (no language guidance)")
-    out = [np.random.default_rng(zlib.crc32(n.encode())).standard_normal(dim)
-           for n in class_names]
-    return np.stack(out).astype(np.float32)
+    return _pseudo_embeddings(class_names, dim)
 
 
 class RetrievalExperiment:
@@ -171,8 +177,8 @@ class RetrievalExperiment:
                             "deterministic pseudo-tokens", e)
             dim = vision_config_from_backbone_cfg(
                 cfg.get("backbone", {}) or {}).projection_dim
-            te = np.stack([offline_text_embedder([f"{n}#{t}" for t in range(8)],
-                                                 dim=dim) for n in names])
+            te = np.stack([_pseudo_embeddings([f"{n}#{t}" for t in range(8)],
+                                              dim=dim) for n in names])
         cfg["model"]["token_embeds_array"] = te
 
     # ---------------------------------------------------------------- method
@@ -208,9 +214,10 @@ class RetrievalExperiment:
         bs = int(cfg.get("batch_size", 64))
         sample = jnp.zeros((bs, self.crop, self.crop, 3), jnp.float32)
         rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
-        init_params = self.model.init(
+        init_vars = self.model.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-            sample, train=True)["params"]
+            sample, train=True)
+        init_params = init_vars["params"]
 
         from concepthash_tpu.models.backbone_factory import maybe_load_pretrained_vision
 
@@ -222,7 +229,10 @@ class RetrievalExperiment:
             cfg.get("optim", {}) or {}, cfg.get("scheduler", {}) or {},
             epochs, steps_per_epoch, init_params,
             backbone_lr_scale=float(cfg.get("backbone_lr_scale", 1.0)))
-        self.state = create_train_state(self.model, self.tx, sample, rng)
+        # reuse the init above (same rng derivation) — a second full
+        # model.init costs minutes for ViT-B-sized models on a 1-core host
+        self.state = create_train_state(self.model, self.tx, sample, rng,
+                                        variables=init_vars)
         if loaded is not init_params:
             self.state = self.state.replace(params=loaded)
         self.state = replicate(self.state, self.mesh)
@@ -284,12 +294,31 @@ class RetrievalExperiment:
     # ------------------------------------------------------------------ train
     def _prepare_structure(self):
         """SSDH: build the pairwise semantic structure from initial features
-        (reference trainers/ssdh.py:9-12 precomputes before epoch 1)."""
+        (reference trainers/ssdh.py:9-12 precomputes before epoch 1).
+
+        Extracted in DATASET order (unshuffled drop_last=False loader,
+        rows scattered by batch index, like _odc_setup): the structure is
+        later indexed by dataset index (train_one_epoch's
+        ``self._structure[np.ix_(idx, idx)]``), so an encode over the
+        shuffled drop_last train loader would pair wrong samples — and
+        IndexError on the dropped tail."""
         from concepthash_tpu.losses.unsupervised import ssdh_structure
 
-        feats, _, _ = self.encode_split("train")
+        n = len(self.datasets["train"])
+        bs = int(self.config.get("batch_size", 64))
+        feats = None
+        loader = Loader(self.datasets["train"], bs, shuffle=False,
+                        drop_last=False, **self._loader_kw)
+        for batch in loader:
+            nv = batch.pop("n_valid")
+            codes, _ = self.eval_step(self.state,
+                                      shard_batch(batch, self.mesh))
+            arr = np.asarray(codes["codes"])[:nv]
+            if feats is None:
+                feats = np.zeros((n, arr.shape[1]), np.float32)
+            feats[batch["index"][:nv]] = arr
         alpha = float((self.config.get("criterion") or {}).get("alpha", 2.0))
-        self._structure = ssdh_structure(feats["codes"], alpha=alpha)
+        self._structure = ssdh_structure(feats, alpha=alpha)
         logging.info("ssdh structure: %.1f%% positive, %.1f%% negative",
                      100 * (self._structure > 0).mean(),
                      100 * (self._structure < 0).mean())
@@ -523,7 +552,11 @@ class RetrievalExperiment:
                 c = np.asarray(codes["codes"], np.float32)
                 c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
                                 1e-12)
-                pseudo = ((c[:, None] - cents[None]) ** 2).sum(-1).argmin(1)
+                # (N,k) expansion, not the (N,k,nbit) broadcast (which
+                # materializes ~38GB at 100k rows x 1486 classes x 64 bit)
+                d2 = ((c ** 2).sum(1, keepdims=True)
+                      - 2.0 * c @ cents.T + (cents ** 2).sum(1))
+                pseudo = d2.argmin(1)
                 gt = labels.argmax(1) if labels.ndim > 1 else labels
                 res[f"{name}_nmi"] = normalized_mutual_info(gt, pseudo)
                 logging.info("%s NMI: %.4f", name, res[f"{name}_nmi"])
@@ -547,6 +580,14 @@ class RetrievalExperiment:
 
     def load_model_state(self, path: str):
         blob = io.load_checkpoint(path)
+        if "params" not in blob:
+            # shallow-regime checkpoints hold {'criterion': fit_state} —
+            # not a network state; fail with the cause, not a KeyError
+            raise ValueError(
+                f"{path} is not a network checkpoint (keys: "
+                f"{sorted(blob)}); shallow-method runs (itq/pca/lsh/sh) "
+                f"store the fitted criterion, which exp=validation cannot "
+                f"re-evaluate as a model")
         s = jax.device_get(self.state)
         self.state = self.state.replace(
             params=_restore_like(s.params, blob["params"]),
@@ -609,7 +650,11 @@ class RetrievalExperiment:
         self.start_epoch = ep + 1
         ms = [r.get(self.eval_metric) for r in self.test_history.history
               if r.get(self.eval_metric) is not None]
-        self.best_metric = max(ms) if ms else None
+        # min() for lower-is-better metrics (GeneralExperiment's test_loss):
+        # max() would resume with the WORST historical value as "best" and
+        # let a mediocre next eval overwrite models/best.msgpack
+        self.best_metric = ((max(ms) if self.higher_is_better else min(ms))
+                            if ms else None)
         logging.info("resumed from %s at epoch %d", resume_logdir, self.start_epoch)
 
     # ------------------------------------------------------------------- main
@@ -636,11 +681,12 @@ class RetrievalExperiment:
                     res, dumps = self.evaluation(ep)
                     self.test_history.append(res)
                     metric = res.get(self.eval_metric)
-                    better = (self.best_metric is None or
-                              (metric > self.best_metric
-                               if self.higher_is_better
-                               else metric < self.best_metric))
-                    if metric is not None and better:
+                    better = (metric is not None and
+                              (self.best_metric is None or
+                               (metric > self.best_metric
+                                if self.higher_is_better
+                                else metric < self.best_metric)))
+                    if better:
                         self.best_metric = metric
                         self.save_model("best", ep)
                         self._dump_codes(dumps)
@@ -734,6 +780,19 @@ class RetrievalExperiment:
             return adsh_loss(outputs, batch["adsh"], gamma=gamma, nbit=nbit,
                              apply_tanh=not pre_act)
 
+        # self.tx's LR schedule was sized to the FULL train loader in
+        # _build_method, but adsh takes inner_epochs * (num_samples // bs)
+        # steps per outer epoch — left as-is, cosine/step decay would end
+        # the run only ~60% through its horizon (reference trainers/adsh.py
+        # schedules on its own step count). Rebuild on the real count; the
+        # optimizer chain is unchanged so the existing opt_state fits.
+        adsh_steps = max(1, inner_epochs * (num_samples // bs))
+        if adsh_steps != self.steps_per_epoch:
+            self.tx = build_optimizer(
+                cfg.get("optim", {}) or {}, cfg.get("scheduler", {}) or {},
+                self.epochs, adsh_steps, jax.device_get(self.state).params,
+                backbone_lr_scale=float(cfg.get("backbone_lr_scale", 1.0)))
+            self.steps_per_epoch = adsh_steps
         step = make_train_step(self.model, loss_fn, self.tx, mesh=self.mesh,
                                preprocess_fn=train_pp, donate=False)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -744,8 +803,9 @@ class RetrievalExperiment:
         for ep in range(self.epochs):
             omega = rng.choice(n_train, num_samples, replace=False)
             sub = train_ds.subset(omega)
-            loader = Loader(sub, bs, resize=resize, shuffle=True, drop_last=True,
-                            seed=int(cfg.get("seed", 42)) + ep)
+            loader = Loader(sub, bs, shuffle=True, drop_last=True,
+                            seed=int(cfg.get("seed", 42)) + ep,
+                            **self._loader_kw)
             # Hard {-1,+1} pair matrix, then the upstream soft-similarity
             # rebalance — omitting it collapsed adsh at the 24-class medium
             # parity scale (RESULTS_MULTISEED_MEDIUM pre-fix: 0.44 vs ref
@@ -772,7 +832,7 @@ class RetrievalExperiment:
                     self.state, metrics = step(self.state, batch2)
                     meters.update_device(metrics, n)
             # refresh U on the subset, then DCC-update V
-            sub_loader = Loader(sub, bs, resize=resize)
+            sub_loader = Loader(sub, bs, **self._loader_kw)
             us, sub_pos = [], []
             for batch in sub_loader:
                 n = batch.pop("n_valid")
@@ -892,15 +952,22 @@ class RetrievalEvaluation:
             common = dict(dist_metric=cfg.get("dist_metric", "hamming"),
                           threshold=float(cfg.get("ternary_threshold", 0) or 0),
                           remove_first_retrieved=drop_first)
+            # cutoff precedence: an explicit top-level R override wins, else
+            # the dataset group's R (inat_birds sets R: 1000 there) — the
+            # old top-level-only read made eval-only score mAP@-1 on runs
+            # whose training evals reported mAP@1000
+            R_cfg = cfg.get("R", -1)
+            if R_cfg in (-1, None) and isinstance(cfg.get("dataset"), dict):
+                R_cfg = cfg["dataset"].get("R", -1)
             if cfg.get("compute_mAP", True):
                 mAPs, recalls, precisions = calculate_mAP(
-                    dc, db_labels, tc, test_labels, R=cfg.get("R", -1),
+                    dc, db_labels, tc, test_labels, R=R_cfg,
                     PRs=tuple(cfg.get("PRs", (1, 5, 10))),
                     zero_mean=bool(cfg.get("zero_mean_eval", False)), **common)
                 res["mAP" + postfix] = mAPs
                 res["recalls" + postfix] = recalls
                 res["precisions" + postfix] = precisions
-                logging.info("%s: mAP@%s = %s", key, cfg.get("R", -1), mAPs)
+                logging.info("%s: mAP@%s = %s", key, R_cfg, mAPs)
             else:
                 recalls, precisions, Rs = calculate_pr_curve(
                     dc, db_labels, tc, test_labels, **common)
@@ -952,9 +1019,13 @@ def _restore_partial(template, data, _stats=None):
 
 
 def _restore_like(template, data):
-    """Restore a msgpack dict onto a pytree template (keeps dtypes/shapes)."""
+    """Restore a msgpack dict onto a pytree template (keeps dtypes/shapes).
+    Missing subtrees/keys in ``data`` keep the template's current values
+    (the documented lenient default — blob.get(..., {}) call sites)."""
     if isinstance(template, dict):
-        return {k: _restore_like(template[k], data[k]) for k in template}
+        if not isinstance(data, dict):
+            return template
+        return {k: _restore_like(template[k], data.get(k)) for k in template}
     if hasattr(template, "shape") and data is not None:
         arr = np.asarray(data)
         return jnp.asarray(arr.reshape(np.shape(template)),

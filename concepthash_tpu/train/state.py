@@ -39,9 +39,14 @@ class TrainState:
 
 
 def create_train_state(model, tx, sample_batch, rng,
-                       init_train: bool = True) -> TrainState:
-    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-    variables = model.init(init_rngs, sample_batch, train=init_train)
+                       init_train: bool = True,
+                       variables: dict | None = None) -> TrainState:
+    """``variables``: pass the result of an identical ``model.init`` already
+    performed (same rng derivation below) to avoid a second full-model init
+    — minutes for ViT-B-sized models on a 1-core host."""
+    if variables is None:
+        init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+        variables = model.init(init_rngs, sample_batch, train=init_train)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
