@@ -37,7 +37,7 @@ class Method:
     build_model: Callable  # (config, codebook) -> nn.Module
     build_loss: Callable   # (config, codebook) -> fn(outputs, batch)->(loss, parts)
     codebook: Optional[str] = None     # None | 'signed' | 'continuous'
-    regime: str = "sgd"                # sgd | shallow | adsh
+    regime: str = "sgd"                # sgd | shallow | adsh | odc
     unsupervised: bool = False
     two_view: bool = False             # train batches = two augmented views
     needs_structure: bool = False      # precompute pairwise structure (SSDH)
@@ -46,9 +46,6 @@ class Method:
     # and initialize TrainState.extra
     custom_step: Optional[Callable] = None   # (model, cfg, tx, pp, steps)->fn
     init_extra: Optional[Callable] = None    # (state, cfg) -> state
-
-    def wants_index(self):
-        return self.regime == "adsh"
 
 
 _REGISTRY: dict[str, Method] = {}
@@ -84,8 +81,18 @@ def _compute_dtype(config):
     (params stay float32; codes/logits/centers are cast back to f32 inside
     the models)."""
     name = str(config.get("compute_dtype", "float32")).lower()
-    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-            "float32": jnp.float32, "f32": jnp.float32}[name]
+    table = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+             "float32": jnp.float32, "f32": jnp.float32}
+    if name not in table:
+        raise ValueError(f"compute_dtype {name!r} not supported; "
+                         f"use one of {sorted(table)}")
+    return table[name]
+
+
+def _null_loss(config, codebook):
+    """Loss for methods trained without an objective (descriptor extraction,
+    shallow fits, EMA-pretrain methods whose loss lives in a custom step)."""
+    return lambda outputs, batch: (jnp.float32(0.0), {})
 
 
 def _build_concepthash(config, codebook):
@@ -165,6 +172,8 @@ def _lgh_build_loss(config, codebook):
     kw.pop("multiclass", None)
     kw.setdefault("ncontext", int(config["model"].get("ncontext", 4)))
     kw.setdefault("concept_cossim", bool(config["model"].get("concept_cossim", True)))
+    # attn-diversity slices depend on the register-token count
+    kw.setdefault("nregs", int(config["model"].get("nregs", 0) or 0))
     # LGHv3 (reference models/loss/coop.py:346-352): contrastive variant —
     # labels are replaced by the batch diagonal (requires logits whose class
     # axis is the batch, i.e. centers = the batch itself)
@@ -182,8 +191,9 @@ def _lgh_build_loss(config, codebook):
 
 register_method(Method(
     "concepthash", _build_concepthash, _lgh_build_loss, codebook="continuous",
-    needs_attentions=lambda cfg: (cfg.get("criterion", {}).get("loss_scales", {})
-                                  or {}).get("attn_div_loss", 0) != 0))
+    needs_attentions=lambda cfg: (((cfg.get("criterion", {}) or {})
+                                   .get("loss_scales", {}) or {})
+                                  .get("attn_div_loss", 0) != 0)))
 register_method(Method(
     "orthohash", functools.partial(_build_baseline, "orthohash"),
     _simple_loss(L.orthohash_loss), codebook="signed"))
@@ -305,7 +315,7 @@ register_method(Method(
     _simple_loss(L.ce_loss)))
 register_method(Method(
     "descriptor", functools.partial(_build_baseline, "descriptor"),
-    lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {}))))
+    _null_loss))
 
 
 def _build_finegrained(cls_name, config, codebook):
@@ -405,9 +415,6 @@ def _dino_extra(state, config):
     return init_dino_extra(state, int(m.get("proj_dim", m.get("nbit", 64))))
 
 
-_null_loss = lambda config, codebook: (
-    lambda outputs, batch: (jnp.float32(0.0), {}))
-
 register_method(Method(
     "moco", functools.partial(_build_pretrain, True), _null_loss,
     unsupervised=True, custom_step=_moco_step, init_extra=_teacher_extra))
@@ -501,15 +508,13 @@ def _tbh_step(model, config, tx, preprocess_fn, total_steps):
 
 
 def _tbh_extra(state, config):
-    import jax as _jax
-
     from concepthash_tpu.train.pretrain_steps import init_tbh_extra
 
     disc, disc_tx = _tbh_disc_and_tx(config)
     m = config["model"]
     zdim = int(m.get("zdim", m["nbit"]))
     return init_tbh_extra(state, disc, disc_tx, zdim,
-                          _jax.random.PRNGKey(int(config.get("seed", 42)) + 9))
+                          jax.random.PRNGKey(int(config.get("seed", 42)) + 9))
 
 
 register_method(Method("tbh", _build_tbh, _null_loss, unsupervised=True,
@@ -533,7 +538,8 @@ def _odc_step(model, config, tx, preprocess_fn, total_steps):
 
     crit = dict(config.get("criterion", {}) or {})
     momentum = float(crit.get("memory_momentum", 0.5))
-    interval = int(crit.get("update_interval", 10))
+    interval = int(crit.get("update_interval",
+                            crit.get("cluster_interval", 10)))
     nclass = int(config["model"]["nclass"])
 
     def step_fn(state, batch):
@@ -620,8 +626,7 @@ register_method(Method(
 for _name in ("itq", "pca", "lsh", "sh"):
     register_method(Method(
         _name, functools.partial(_build_baseline, "descriptor"),
-        lambda config, codebook: (lambda outputs, batch: (jnp.float32(0.0), {})),
-        regime="shallow"))
+        _null_loss, regime="shallow"))
 
 # asymmetric methods (ADSH alternating optimization; SEMICON = the SEM
 # suppression-attention global+local head — reference SEMICONWithAdapter,
@@ -648,7 +653,8 @@ def prepare_codebook(method: Method, config, logdir: str | None = None,
     if method.codebook is None:
         return None
     m = config["model"]
-    spec = dict(m.get("fixed_center") or config.get("criterion", {}).get("codebook")
+    spec = dict(m.get("fixed_center")
+                or (config.get("criterion", {}) or {}).get("codebook")
                 or m.get("codebook") or {})
     spec.pop("_target_", None)
     spec.setdefault("codebook_method", "N")
