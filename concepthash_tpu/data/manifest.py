@@ -37,13 +37,16 @@ def read_manifest(root: str, filename: str) -> Manifest:
             parts = line.split()
             # multi-label manifests store comma/space separated ints after path
             img = parts[0]
-            lab = [int(x) for x in parts[1:]]
+            lab = [int(x) for tok in parts[1:] for x in tok.split(",") if x]
             paths.append(img)
             labels.append(lab[0] if len(lab) == 1 else lab)
-    if labels and isinstance(labels[0], list):
-        labels = np.asarray(labels, np.int64)
-    else:
-        labels = np.asarray(labels, np.int64)
+    widths = {len(l) if isinstance(l, list) else 0 for l in labels}
+    if len(widths) > 1:
+        raise ValueError(
+            f"{path}: inconsistent label counts per row ({sorted(widths)}) — "
+            f"multi-label manifests need the same number of labels on every "
+            f"line")
+    labels = np.asarray(labels, np.int64)
     return Manifest(root=root, filename=filename, paths=paths, labels=labels)
 
 
@@ -65,7 +68,18 @@ class HashingDataset:
         m = read_manifest(root, filename)
         self.root = root
         self.filename = filename
-        self.num_classes = num_classes or int(m.labels.max()) + 1
+        # multi-hot rows: the class count is the row WIDTH (max()+1 would
+        # say 2 for any 0/1 matrix)
+        inferred = (m.labels.shape[1] if m.labels.ndim == 2
+                    else int(m.labels.max()) + 1)
+        self.num_classes = num_classes or inferred
+        if num_shots and m.labels.ndim == 2:
+            import logging
+
+            logging.warning(
+                "num_shots=%d ignored: few-shot subsetting is only defined "
+                "for single-label manifests (%s is multi-hot)", num_shots,
+                filename)
         if num_shots and m.labels.ndim == 1:
             keep = []
             counts = {}

@@ -22,6 +22,34 @@ from concepthash_tpu.data.preprocess import load_image_host
 default_workers = 8
 
 
+def _finish_batch(arr, labels, sel, batch_size: int) -> dict:
+    """Shared batch-dict contract: zero-pad to the static batch size, pad
+    rows carry index -1 and are excluded from n_valid."""
+    n_valid = len(sel)
+    if n_valid < batch_size:
+        pad = batch_size - n_valid
+        arr = np.concatenate(
+            [arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)])
+        labels = np.concatenate(
+            [labels, np.zeros((pad, labels.shape[1]), labels.dtype)])
+        sel = np.concatenate([sel, np.full(pad, -1)])
+    return {"image": arr, "label": labels, "index": sel.astype(np.int32),
+            "n_valid": n_valid}
+
+
+def _ncpu() -> int:
+    """Cores THIS PROCESS may run on — cpuset/affinity aware. os.cpu_count()
+    reports the machine's cores, so a container pinned to 1 core on a
+    64-core host would re-enable exactly the few-core pathologies the
+    width/prefetch heuristics exist to avoid."""
+    import os
+
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # pragma: no cover - non-Linux
+        return os.cpu_count() or 1
+
+
 def _resolve_workers(workers: int) -> int:
     """CPU-aware decode-pool width. On a host with few cores, a wide thread
     pool actively HURTS: decode threads release the GIL and starve the main
@@ -29,11 +57,9 @@ def _resolve_workers(workers: int) -> int:
     a 1-core relay host: np.stack of a 195MB chunk took 22s next to 8 decode
     threads vs <1s with 1). Cap at the core count, leaving headroom at >=4
     cores for the main thread."""
-    import os
-
     if workers:
         return workers
-    ncpu = os.cpu_count() or 1
+    ncpu = _ncpu()
     if ncpu >= 4:
         return min(default_workers, ncpu - 1)
     return 1
@@ -100,9 +126,24 @@ class Loader:
         self.prefetch = prefetch
         self.epoch = 0
         self.onehot = dataset.onehot_labels()
-        # per-host shard
+        # per-host shard — EQUAL batch counts on every host, or the SPMD
+        # step count diverges and collectives deadlock (one host dispatches
+        # a step the others never join):
+        #   drop_last (train): truncate every shard to floor(n/pc) items
+        #   else (eval): pad shorter shards to ceil(n/pc) with -1 sentinels
+        #     (kept TRAILING; _make_batch strips them so they become the
+        #     batch's zero-pad tail and n_valid excludes them — coverage
+        #     stays exact)
         n = len(dataset)
         shard = np.arange(process_index, n, process_count)
+        if process_count > 1:
+            if drop_last:
+                shard = shard[: n // process_count]
+            else:
+                tgt = -(-n // process_count)
+                if len(shard) < tgt:
+                    shard = np.concatenate(
+                        [shard, np.full(tgt - len(shard), -1)])
         self.indices = shard
 
     def __len__(self):
@@ -115,23 +156,26 @@ class Loader:
         idxs = self.indices.copy()
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(idxs)
+            if (idxs < 0).any():  # keep host-shard sentinels trailing
+                real = idxs[idxs >= 0]
+                rng.shuffle(real)
+                idxs = np.concatenate([real, idxs[idxs < 0]])
+            else:
+                rng.shuffle(idxs)
         return idxs
 
     def _make_batch(self, idxs, b: int) -> dict:
         sel = idxs[b * self.batch_size:(b + 1) * self.batch_size]
-        images = self.source.get_many(sel)
-        labels = self.onehot[sel]
-        n_valid = len(sel)
-        if n_valid < self.batch_size:  # pad to static shape
-            pad = self.batch_size - n_valid
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
-            labels = np.concatenate(
-                [labels, np.zeros((pad, labels.shape[1]), labels.dtype)])
-            sel = np.concatenate([sel, np.full(pad, -1)])
-        return {"image": images, "label": labels,
-                "index": sel.astype(np.int32), "n_valid": n_valid}
+        sel = sel[sel >= 0]  # host-shard pad sentinels (always trailing)
+        if len(sel) == 0:    # all-sentinel batch (n < process_count edge)
+            r = self.source.resize
+            return {"image": np.zeros((self.batch_size, r, r, 3), np.uint8),
+                    "label": np.zeros((self.batch_size,
+                                       self.onehot.shape[1]), np.float32),
+                    "index": np.full(self.batch_size, -1, np.int32),
+                    "n_valid": 0}
+        return _finish_batch(self.source.get_many(sel), self.onehot[sel],
+                             sel, self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         import os
@@ -144,8 +188,10 @@ class Loader:
         # GIL-held numpy work (cache hits, batch stacking) starves the
         # consumer's H2D/dispatch path via timeslice round-robin — measured
         # 2-4x WORSE than synchronous production. Overlap only pays when
-        # there is a core to overlap onto.
-        if (os.cpu_count() or 1) < 2:
+        # there is a core to overlap onto. prefetch<=0 means synchronous too
+        # (Queue(maxsize=0) would be UNBOUNDED — the producer would race the
+        # whole epoch into RAM).
+        if _ncpu() < 2 or self.prefetch <= 0:
             for b in range(nb):
                 yield self._make_batch(idxs, b)
             return
@@ -153,15 +199,30 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that re-checks stop: a plain q.put() parks the
+            # producer FOREVER when the consumer abandons iteration with a
+            # full queue (break / train-step exception) — the finally's
+            # stop.set() can't wake it, leaking the thread + ~prefetch
+            # decoded batches per abandoned epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idxs, b))
-                q.put(None)
+                    if not _put(self._make_batch(idxs, b)):
+                        return
+                _put(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -175,6 +236,12 @@ class Loader:
                 yield item
         finally:
             stop.set()
+            try:  # unblock a producer mid-put, then reap it
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=2.0)
 
 
 def dataloader(dataset: HashingDataset, batch_size: int, shuffle: bool = False,
@@ -227,16 +294,5 @@ def array_loader(dataset: ArrayDataset, batch_size: int, shuffle: bool = False,
     nb = n // batch_size if drop_last else -(-n // batch_size)
     for b in range(nb):
         sel = idxs[b * batch_size:(b + 1) * batch_size]
-        feats = dataset.features[sel]
-        labels = onehot[sel]
-        n_valid = len(sel)
-        if n_valid < batch_size:
-            pad = batch_size - n_valid
-            feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]),
-                                                    feats.dtype)])
-            labels = np.concatenate([labels,
-                                     np.zeros((pad, labels.shape[1]),
-                                              labels.dtype)])
-            sel = np.concatenate([sel, np.full(pad, -1)])
-        yield {"image": feats, "label": labels, "index": sel.astype(np.int32),
-               "n_valid": n_valid}
+        yield _finish_batch(dataset.features[sel], onehot[sel], sel,
+                            batch_size)
