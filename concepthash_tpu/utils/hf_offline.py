@@ -21,6 +21,10 @@ import socket
 def ensure_hf_reachable(model_id: str, filename: str = "config.json") -> None:
     """Raise OSError fast iff the HF hub is unreachable and ``model_id`` is
     absent from the local cache. No-op otherwise."""
+    import os
+
+    if os.path.isdir(model_id):
+        return  # local-directory checkpoint: no hub involved
     try:
         from huggingface_hub import try_to_load_from_cache
 
@@ -28,8 +32,6 @@ def ensure_hf_reachable(model_id: str, filename: str = "config.json") -> None:
             return  # locally cached: offline load will succeed
     except Exception:  # pragma: no cover - hub internals changed
         pass
-    import os
-
     try:
         # DNS-level probe: NXDOMAIN / no-resolver environments fail in
         # milliseconds (vs from_pretrained's 5-retry backoff). A resolvable

@@ -35,8 +35,12 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, HERE)
 import proto  # noqa: E402
 METHODS = ["ce", "orthohash", "csq", "concepthash", "dpn", "hashnet",
-           "dtsh", "greedyhash", "a2net_ce", "semicon_ce", "concepthash_sa",
-           "adsh"]
+           "dpsh", "dtsh", "greedyhash", "a2net_ce", "semicon_ce",
+           "concepthash_sa", "adsh", "itq", "pca"]
+
+# shallow fits are one-pass: the reference ITQ criterion asserts if
+# train_one_epoch runs a second time (models/loss/itq.py:34)
+SINGLE_EPOCH = {"itq", "pca"}
 
 
 def asset_stamp(assets_dir: str) -> str:
@@ -115,7 +119,8 @@ def main():
                 logdir = os.path.join(HERE, "runs", P["runs_subdir"],
                                       f"{prefix}_{m}_s{seed}")
                 if not args.no_run:
-                    run_one(script, m, seed, args.epochs, logdir)
+                    run_one(script, m, seed,
+                            1 if m in SINGLE_EPOCH else args.epochs, logdir)
                 per_side[side].append(best_map(logdir))
 
         ref_mu, ref_sd = mean_std(per_side["reference"])

@@ -27,9 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
-                             "dpn", "hashnet", "dtsh", "greedyhash",
+                             "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
-                             "adsh", "semicon"])
+                             "adsh", "semicon", "itq", "pca"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
@@ -50,12 +50,14 @@ def main():
     model_group = {"ce": "ce_adapter", "orthohash": "orthohash_adapter",
                    "csq": "csq_adapter", "concepthash": "concepthash",
                    "dpn": "dpn_adapter", "hashnet": "hashnet_adapter",
+                   "dpsh": "dpsh_adapter",
                    "dtsh": "dtsh_adapter",
                    "greedyhash": "sgh_adapter",
                    "a2net_ce": "a2net_ce_adapter",
                    "semicon_ce": "semicon_ce_adapter",
                    "concepthash_sa": "concepthash_sa",
-                   "adsh": "adsh", "semicon": "semicon"}[args.method]
+                   "adsh": "adsh", "semicon": "semicon",
+                   "itq": "itq", "pca": "pca"}[args.method]
 
     overrides = [
         "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
@@ -97,6 +99,10 @@ def main():
         # match run_reference's adsh-regime method_params
         overrides += [f"criterion.num_samples={_P['adsh_num_samples']}",
                       "criterion.max_iters=3"]
+    elif args.method == "itq":
+        # match the reference ITQLoss defaults (max_iters=3) and tie the
+        # rotation init to the run seed like upstream's global torch seed
+        overrides += ["criterion.iters=3", f"criterion.seed={args.seed}"]
 
     sys.path.insert(0, REPO)
     import main as cli

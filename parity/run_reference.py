@@ -140,6 +140,45 @@ def _model_block(method: str, assets: str, clip_dir: str):
                           "train_size": 0, "keep_train_size": 0,
                           "nbit": NBIT, "nclass": NCLASS},
         }
+    if method in ("itq", "pca"):
+        # Shallow regime: BaseShallowTrainer builds the encoder from
+        # config.backbone directly (trainers/shallow.py load_model) and fits
+        # the criterion on the full train feature matrix in ONE pass — the
+        # ITQ criterion asserts if train_one_epoch runs twice, so these
+        # methods run with epochs=1 (multiseed passes that automatically).
+        crit = ({"_target_": "models.loss.itq.ITQLoss", "nbit": NBIT,
+                 "max_iters": 3} if method == "itq" else
+                {"_target_": "models.loss.pca.PCALoss", "nbit": NBIT,
+                 "whiten": False})
+        return {
+            # config.model is never instantiated for shallow trainers
+            # (load_model overridden); keep a stub for config saving.
+            "model": {"nbit": NBIT, "nclass": NCLASS},
+            "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                         "name": clip_dir},
+            "trainer": {"_target_": ("trainers.itq.ITQTrainer"
+                                     if method == "itq" else
+                                     "trainers.pca.PCATrainer")},
+            "criterion": crit,
+        }
+    if method == "dpsh":
+        # No dpsh model config ships upstream, but the trainer
+        # (trainers/dpsh.py, a PairwiseTrainer) and criterion
+        # (models/loss/dpsh.py) both do; composed from the hashnet_adapter
+        # shape like the other pairwise methods. DPSHTrainer.load_criterion
+        # injects train_size=len(train) itself.
+        return {
+            "model": {"_target_": "models.arch.dpsh.DPSH",
+                      "backbone": {"_target_": "models.backbone.clip.CLIPVision",
+                                   "name": clip_dir},
+                      "has_adapter": True, "adapter_bottleneck_dim": 8,
+                      "nbit": NBIT, "nclass": NCLASS},
+            "trainer": {"_target_": "trainers.dpsh.DPSHTrainer"},
+            "criterion": {"_target_": "models.loss.dpsh.DPSHLoss",
+                          "alpha": 1, "keep_train_size": 0,
+                          "imbalance_scheme": "hashnet",
+                          "nbit": NBIT, "nclass": NCLASS},
+        }
     if method == "dtsh":
         # configs/model/dtsh_adapter.yaml
         return {
@@ -314,9 +353,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", required=True,
                     choices=["ce", "orthohash", "csq", "concepthash",
-                             "dpn", "hashnet", "dtsh", "greedyhash",
+                             "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
-                             "adsh", "semicon"])
+                             "adsh", "semicon", "itq", "pca"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",

@@ -28,6 +28,18 @@ def test_raises_fast_when_unreachable_and_uncached(monkeypatch):
     assert time.perf_counter() - t0 < 5.0
 
 
+def test_noop_for_local_directory(monkeypatch, tmp_path):
+    """A local-directory checkpoint (e.g. parity/assets/tiny-clip) involves
+    no hub: the guard must pass it through even with dead DNS. Regression:
+    the guard once treated dir paths as hub ids and forced the parity runs
+    onto random-init backbones."""
+    def no_dns(*a, **k):
+        raise socket.gaierror(-2, "Name or service not known")
+
+    monkeypatch.setattr(socket, "getaddrinfo", no_dns)
+    ensure_hf_reachable(str(tmp_path))  # no raise
+
+
 def test_noop_when_cached(monkeypatch, tmp_path):
     import concepthash_tpu.utils.hf_offline as mod
 
