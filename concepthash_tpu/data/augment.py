@@ -42,8 +42,10 @@ def _sharpness(im, m):
 
 
 def _posterize(im, m):
-    # m in [0,1] -> keep 8..2 bits
-    bits = (8 - jnp.floor(m * 6)).astype(jnp.int32)
+    # |m| in [0,1] -> keep 8..2 bits. Posterize has no signed direction:
+    # the batch sampler flips magnitude signs for all ops, and a negative m
+    # here would wrap (8 - bits) to uint8 255 and black the image out.
+    bits = (8 - jnp.floor(jnp.abs(m) * 6)).astype(jnp.int32)
     shift = (8 - bits).astype(jnp.uint8)
     q = (im.astype(jnp.uint8) >> shift) << shift
     return q.astype(jnp.float32)

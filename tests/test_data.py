@@ -135,6 +135,20 @@ def test_trivial_augment_ops_all_run():
         assert float(np.asarray(out).max()) <= 255.0 + 1e-3
 
 
+def test_trivial_augment_negative_magnitude_not_destructive():
+    """Regression: the batch sampler flips magnitude signs for every op;
+    posterize once wrapped (8 - bits) to uint8 255 on negative m and
+    produced all-black images (~3.6% of trivialaugment batches)."""
+    from concepthash_tpu.data.augment import _OPS, _augment_one
+
+    rng = np.random.default_rng(3)
+    im = jnp.asarray(rng.uniform(64, 255, (16, 16, 3)).astype(np.float32))
+    for i in range(len(_OPS)):
+        out = np.asarray(_augment_one(im, jnp.int32(i), jnp.float32(-0.5)))
+        assert np.isfinite(out).all(), f"op {i} non-finite at m=-0.5"
+        assert out.max() > 1.0, f"op {i} blacked out the image at m=-0.5"
+
+
 def test_multihost_input_sharding(ds_root):
     """Per-host manifest sharding (SURVEY.md §5.8, pipeline.py process_index
     slicing): 4 simulated hosts must cover the dataset exactly once, with
