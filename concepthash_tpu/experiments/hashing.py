@@ -711,16 +711,56 @@ class RetrievalExperiment:
                      os.path.join(self.logdir, "outputs", "db_best.msgpack"))
 
     # -------------------------------------------------------- shallow regime
+    def _extract_fit_features(self) -> np.ndarray:
+        """(Ntrain, D) feature matrix for the shallow fit, extracted through
+        the TRAIN preprocessing (random crop/flip/augment), dataset order,
+        no tail drop.
+
+        The reference's shallow trainers fit on the augmented train-loader
+        output (trainers/shallow.py:104-121 iterates dataloader['train'],
+        whose transform stack includes the train augmentation). This is
+        load-bearing, not cosmetic: backbone feature spectra are
+        near-degenerate (2 components carry ~97% variance on the parity
+        fixture), so a fit on deterministic center-crop features locks onto
+        augmentation-sensitive directions — measured −0.17 mAP vs the
+        reference's augmented fit with otherwise identical features and an
+        SVD that matches sklearn to |cos|=1 per component (parity pca row).
+        Deterministic given the run seed (per-batch fold_in)."""
+        bs = int(self.config.get("batch_size", 64))
+        crop, norm, augment = self.crop, self.norm, self.augment
+        model = self.model
+
+        @jax.jit
+        def encode(state, images, prng):
+            x = preprocess_batch(images, prng, crop=crop, norm=norm,
+                                 train=True, augment=augment)
+            return model.apply(state.variables(), x, train=False)["codes"]
+
+        rng = jax.random.PRNGKey(int(self.config.get("seed", 42)))
+        n = len(self.datasets["train"])
+        feats = None
+        loader = Loader(self.datasets["train"], bs, shuffle=False,
+                        drop_last=False, **self._loader_kw)
+        for i, batch in enumerate(loader):
+            nv = batch.pop("n_valid")
+            arr = np.asarray(encode(self.state, batch["image"],
+                                    jax.random.fold_in(rng, i)))[:nv]
+            if feats is None:
+                feats = np.zeros((n, arr.shape[1]), np.float32)
+            feats[batch["index"][:nv]] = arr
+        return feats
+
     def _main_shallow(self):
         """One-pass fit (reference trainers/shallow.py:104-121): extract
-        features, fit ITQ/PCA/LSH/SH, encode, score."""
+        features through the train augmentation, fit ITQ/PCA/LSH/SH, encode
+        test/db with the eval pipeline, score."""
         from concepthash_tpu.losses.shallow import FITTERS, encode_shallow
 
         name = self.config["model"]["name"]
-        feats, labels, _ = self.encode_split("train")
+        fit_feats = self._extract_fit_features()
         fit_kwargs = dict(self.config.get("criterion", {}) or {})
         fit_kwargs.pop("name", None)
-        fit_state = FITTERS[name](feats["codes"], int(self.config["model"]["nbit"]),
+        fit_state = FITTERS[name](fit_feats, int(self.config["model"]["nbit"]),
                                   **fit_kwargs)
         io.fast_save({"criterion": fit_state, "epoch": 0},
                      os.path.join(self.logdir, "models", "best.msgpack"))
