@@ -513,7 +513,8 @@ def measure_recall_at_k(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     return hit / (len(d_exact) * topk)
 
 
-def probe_tpu_alive(timeout_s: float, attempts: int = 2) -> bool:
+def probe_tpu_alive(timeout_s: float, attempts: int = 2,
+                    gap_s: float = 45.0) -> bool:
     """Run a trivial device program in a KILLABLE subprocess. The relay hang
     mode (BENCH_r03, r4 rehearsal) blocks the calling thread inside a C RPC
     with no Python frames — un-interruptable by SIGALRM — so the only safe
@@ -523,8 +524,11 @@ def probe_tpu_alive(timeout_s: float, attempts: int = 2) -> bool:
     runbook saw a probe fail minutes after the same relay completed a 100M
     workload, then answer again an hour later; a cold connect alone measured
     64s). One extra attempt converts that flake into a TPU run instead of a
-    CPU-smoke record; a genuinely hung relay costs attempts*timeout_s, still
-    bounded well under the budget."""
+    CPU-smoke record; a genuinely hung relay costs attempts*timeout_s +
+    gap_s, still bounded well under the budget. Attempts are SPACED by
+    ``gap_s`` — the relay oscillates on minute timescales (a direct probe
+    answered in <100s nine minutes before two back-to-back 150s probes both
+    timed out), so consecutive attempts tend to sample the same outage."""
     import subprocess
 
     code = ("import jax\n"
@@ -542,6 +546,8 @@ def probe_tpu_alive(timeout_s: float, attempts: int = 2) -> bool:
         except Exception as e:
             print(f"tpu probe attempt {i + 1}/{attempts}: {type(e).__name__}",
                   file=sys.stderr)
+        if i + 1 < attempts and gap_s > 0:
+            time.sleep(gap_s)
     return False
 
 
@@ -560,7 +566,9 @@ def main():
     # before the watchdog below is armed.)
     relay_down = not probe_tpu_alive(
         float(os.environ.get("BENCH_PROBE_TIMEOUT_S",
-                             "60" if args.smoke else "150")))
+                             "60" if args.smoke else "150")),
+        gap_s=float(os.environ.get("BENCH_PROBE_GAP_S",
+                                   "5" if args.smoke else "45")))
 
     tiny = args.smoke or relay_down
     if tiny:
