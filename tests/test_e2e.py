@@ -158,3 +158,32 @@ def test_finetune_path_chains_runs(trained_run, workdir):
     assert m, "finetune log line missing"
     assert int(m.group(1)) > 0 and int(m.group(3)) == 0
     assert m.group(2).endswith(os.path.join("models", "best.msgpack"))
+
+
+def test_shallow_regime_cli(workdir):
+    """Shallow (non-gradient) regime end-to-end through the CLI: fit on
+    train-augmented features (_extract_fit_features), eval with the standard
+    pipeline, artifacts written. Locks the augmented-fit semantics the pca
+    parity row established (reference trainers/shallow.py:104-121 fits on
+    the augmented train-loader output)."""
+    logdir = os.path.join(workdir, "run_pca")
+    best = run_main([
+        "dataset=synthetic", "model=pca", "backbone=tiny_test",
+        "model.nbit=8", "batch_size=8", "epochs=1",
+        f"data_dir={workdir}", f"logdir={logdir}", "seed=7",
+    ])
+    assert best is not None and 0.0 <= best <= 1.0
+    with open(os.path.join(logdir, "test_history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 1 and "mAP" in hist[0]
+    assert os.path.exists(os.path.join(logdir, "models", "best.msgpack"))
+    # the fit state must be reusable: reload and re-encode deterministically
+    from concepthash_tpu.losses.shallow import encode_shallow
+    from concepthash_tpu.utils.io import load_checkpoint
+
+    fit = load_checkpoint(os.path.join(logdir, "models", "best.msgpack"))
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((4, fit["criterion"]["comps"].shape[1]))
+    c1 = encode_shallow(fit["criterion"], feats)
+    c2 = encode_shallow(fit["criterion"], feats)
+    assert np.allclose(c1, c2) and c1.shape == (4, 8)
