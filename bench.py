@@ -720,17 +720,19 @@ def main():
         result["retrieval_qps_device_loop"] = round(
             bench_retrieval_device_loop(jnp, jax, n_db, n_q), 1)
 
-    stage("retrieval_device_loop", 90, _retrieval_device)
     stage("exact_topk", 120, _exact)
 
     def _serving_10m():
         result["serving_exact_10m_qps_packed"] = round(
             bench_serving_exact_packed(jnp, jax, 10_000_000, 256), 1)
 
+    # est 90: measured 10.6-12.6s across the r4 rehearsals (compile cache
+    # warm); generous headroom for a cold compile.
     if backend == "tpu" and not tiny:
-        stage("serving_exact_10m_packed", 180, _serving_10m)
+        stage("serving_exact_10m_packed", 90, _serving_10m)
     else:  # account for the unmeasured field instead of a silent null
         result["skipped_stages"].append("serving_exact_10m_packed:NA")
+    stage("retrieval_device_loop", 90, _retrieval_device)
     emit()
 
     def _encode():
@@ -746,8 +748,14 @@ def main():
         result["train_img_per_s_single_dispatch"] = round(
             bench_train_step(jax, jnp, min(batch, 256), tiny=tiny), 1)
 
-    stage("encode", 150, _encode)
-    stage("train_chunked", 300, _train_chunk)
+    # Train BEFORE encode: on a degraded relay (the v8 rehearsal lost 412s
+    # to probe+init) whatever sits last gets skipped, and the production
+    # train throughput is the more load-bearing of the two. Estimates are
+    # the r4 measured costs + headroom (train_chunked 136-250s, encode
+    # 122-168s across rehearsals).
+    stage("train_chunked", 220, _train_chunk)
+    emit()
+    stage("encode", 180, _encode)
     emit()  # r02-compatible field set complete
     stage("train_single_dispatch", 150, _train_single)
 
