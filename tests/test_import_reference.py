@@ -1,0 +1,184 @@
+"""Reference-checkpoint import: torch ``models/*.pth`` -> flax variables.
+
+Verifies concepthash_tpu.utils.torch_import reproduces the reference forward
+bit-for-bit (float32 CPU, tolerance ~1e-5) on the three head families that
+span the mapping surface:
+
+- dpsh: flat Linear head over an adapter-tuned CLIP tower, using a REAL
+  trained checkpoint committed by the parity harness
+  (parity/runs/ms/ref_dpsh_s42/models/best.pth).
+- orthohash: Sequential(Linear, BatchNorm) head + CosSim classifier +
+  codebook buffer (exercises the batch_stats mapping).
+- concepthash (flagship): hash queries + torch nn.MultiheadAttention block +
+  shared hash_fc + BN + concept CosSim + text_projection MLP + center buffer.
+
+The torch side runs in a subprocess (parity/dump_reference_forward.py) so the
+reference's sys.path shims never leak into this process.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ASSETS = os.path.join(REPO, "parity", "assets")
+REFERENCE = os.environ.get("PARITY_REFERENCE_DIR", "/root/reference")
+DPSH_PTH = os.path.join(REPO, "parity", "runs", "ms", "ref_dpsh_s42",
+                        "models", "best.pth")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REFERENCE) and os.path.isdir(ASSETS)),
+    reason="reference tree or parity assets unavailable")
+
+
+def _dump(tmp_path, method, pth=None, save_sd=False):
+    out = str(tmp_path / f"{method}.npz")
+    cmd = [sys.executable,
+           os.path.join(REPO, "parity", "dump_reference_forward.py"),
+           "--method", method, "--out", out]
+    if pth:
+        cmd += ["--pth", pth]
+    sd_path = None
+    if save_sd:
+        sd_path = str(tmp_path / f"{method}_sd.pth")
+        cmd += ["--save-sd", sd_path]
+    subprocess.run(cmd, check=True, timeout=600,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return np.load(out), sd_path
+
+
+def _overrides(model_group, logdir):
+    return [
+        "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
+        "optim=sgd", "transforms=test",
+        f"backbone.name={ASSETS}/tiny-clip", "backbone.pretrained=true",
+        "model.nbit=16", "dataset.nclass=6",
+        "model.adapter_bottleneck_dim=8",
+        f"data_dir={ASSETS}", f"logdir={logdir}",
+    ]
+
+
+def _build(overrides, logdir):
+    import jax
+
+    from concepthash_tpu.config import load_config
+    from concepthash_tpu.methods import get_method, prepare_codebook
+
+    cfg = load_config(os.path.join(REPO, "configs"), "train", overrides)
+    method = get_method(cfg["model"]["name"])
+    codebook = (prepare_codebook(method, cfg, logdir)
+                if method.codebook else None)
+    model = method.build_model(cfg, codebook)
+    rng = jax.random.PRNGKey(0)
+    dummy = np.zeros((2, 48, 48, 3), np.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy,
+                           train=False)
+    return cfg, model, {k: variables[k] for k in variables}
+
+
+def _import_and_apply(npz, sd_path, method_name, cfg, model, template):
+    from concepthash_tpu.utils.torch_import import (
+        import_reference_state_dict, load_state_dict)
+
+    sd = load_state_dict(sd_path)
+    newvars, report = import_reference_state_dict(sd, method_name, cfg,
+                                                  template)
+    assert report.unused == [], f"unmapped keys: {report.unused[:10]}"
+    x = npz["x"].transpose(0, 2, 3, 1)
+    return model.apply(newvars, x, train=False), newvars
+
+
+def test_dpsh_trained_checkpoint(tmp_path):
+    """Real trained reference artifact -> identical codes."""
+    if not os.path.exists(DPSH_PTH):
+        pytest.skip("committed dpsh parity artifact missing")
+    npz, _ = _dump(tmp_path, "dpsh", pth=DPSH_PTH)
+    cfg, model, tpl = _build(_overrides("dpsh_adapter", str(tmp_path)),
+                             str(tmp_path))
+    out, _ = _import_and_apply(npz, DPSH_PTH, "dpsh", cfg, model, tpl)
+    codes = np.asarray(out["codes"])
+    np.testing.assert_allclose(codes, npz["codes"], atol=2e-5)
+    assert (np.sign(codes) == np.sign(npz["codes"])).all()
+
+
+def test_imported_run_evaluates_through_cli(tmp_path):
+    """scripts/import_reference_checkpoint.py emits a full run dir that
+    exp=validation consumes: the reference-trained dpsh model scores its
+    trained-quality mAP through our CLI without retraining."""
+    if not os.path.exists(DPSH_PTH):
+        pytest.skip("committed dpsh parity artifact missing")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "import_reference_checkpoint",
+        os.path.join(REPO, "scripts", "import_reference_checkpoint.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    outdir = str(tmp_path / "imported")
+    tool.main(["--pth", DPSH_PTH, "--outdir", outdir] +
+              _overrides("dpsh_adapter", outdir))
+    assert os.path.exists(os.path.join(outdir, "models", "best.msgpack"))
+    assert os.path.exists(os.path.join(outdir, "config.yaml"))
+
+    sys.path.insert(0, REPO)
+    try:
+        import main as cli
+
+        res = cli.main(["exp=validation", f"logdir={outdir}",
+                        f"data_dir={ASSETS}"])
+    finally:
+        sys.path.remove(REPO)
+    # the reference run's trained quality (tiny proto dpsh ~0.98); an
+    # unmapped/garbled import would score near chance (~1/6)
+    assert res["mAP"] > 0.9
+
+
+def test_orthohash_import(tmp_path):
+    """Linear+BN head, CosSim classifier, codebook buffer (batch_stats)."""
+    npz, sd_path = _dump(tmp_path, "orthohash", save_sd=True)
+    ov = _overrides("orthohash_adapter", str(tmp_path)) + [
+        "model.codebook.codebook_method=file",
+        f"model.codebook.path={ASSETS}/codebook_N.npy",
+    ]
+    cfg, model, tpl = _build(ov, str(tmp_path))
+    out, _ = _import_and_apply(npz, sd_path, "orthohash", cfg, model, tpl)
+    np.testing.assert_allclose(np.asarray(out["codes"]), npz["codes"],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["logits"]), npz["logits"],
+                               atol=2e-5)
+
+
+def test_concepthash_import_and_blob(tmp_path):
+    """Flagship head mapping + the msgpack blob the CLI tool writes."""
+    npz, sd_path = _dump(tmp_path, "concepthash", save_sd=True)
+    ov = _overrides("concepthash", str(tmp_path)) + [
+        "model.text_projection_dims=[32]",
+        "model.fixed_center.codebook_method=file",
+        f"model.fixed_center.path={ASSETS}/center.npy",
+        "model.fixed_center.quantized=false",
+    ]
+    cfg, model, tpl = _build(ov, str(tmp_path))
+    out, newvars = _import_and_apply(npz, sd_path, "concepthash", cfg, model,
+                                     tpl)
+    for key in ("codes", "logits_cont", "logits_bin", "logits_concept"):
+        np.testing.assert_allclose(np.asarray(out[key]), npz[key], atol=2e-5,
+                                   err_msg=key)
+
+    # the CLI tool's blob round-trips through msgpack with the same values
+    from flax import serialization
+
+    from concepthash_tpu.utils import io as chio
+
+    blob = {"params": newvars["params"],
+            "batch_stats": newvars.get("batch_stats", {}),
+            "constants": newvars.get("constants", {}), "epoch": 0}
+    path = str(tmp_path / "best.msgpack")
+    chio.fast_save(blob, path)
+    chio.join_save_queue()
+    with open(path, "rb") as f:
+        loaded = serialization.msgpack_restore(f.read())
+    hq = loaded["params"]["hash_queries"]
+    np.testing.assert_allclose(hq, np.asarray(newvars["params"]["hash_queries"]))
