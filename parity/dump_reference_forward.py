@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="run N train-mode forwards first so BatchNorm "
+                         "running stats become nontrivial before the dump")
     args = ap.parse_args()
 
     import compat
@@ -64,6 +67,17 @@ def main():
     if args.pth:
         sd = torch.load(args.pth, map_location="cpu", weights_only=False)
         model.load_state_dict(sd)
+    if args.train_steps:
+        # Populate BatchNorm running stats with nontrivial values so the
+        # import test actually proves the batch_stats mapping (a fresh init
+        # has mean=0/var=1, which any garbled mapping would also produce).
+        model.train()
+        gt = torch.Generator().manual_seed(args.seed + 2)
+        with torch.no_grad():
+            for _ in range(args.train_steps):
+                xb = torch.randn(args.batch, 3, _P["crop"], _P["crop"],
+                                 generator=gt)
+                model(xb)
     if args.save_sd:
         torch.save(model.state_dict(), args.save_sd)
 

@@ -34,13 +34,15 @@ pytestmark = pytest.mark.skipif(
     reason="reference tree or parity assets unavailable")
 
 
-def _dump(tmp_path, method, pth=None, save_sd=False):
+def _dump(tmp_path, method, pth=None, save_sd=False, train_steps=0):
     out = str(tmp_path / f"{method}.npz")
     cmd = [sys.executable,
            os.path.join(REPO, "parity", "dump_reference_forward.py"),
            "--method", method, "--out", out]
     if pth:
         cmd += ["--pth", pth]
+    if train_steps:
+        cmd += ["--train-steps", str(train_steps)]
     sd_path = None
     if save_sd:
         sd_path = str(tmp_path / f"{method}_sd.pth")
@@ -137,8 +139,13 @@ def test_imported_run_evaluates_through_cli(tmp_path):
 
 
 def test_orthohash_import(tmp_path):
-    """Linear+BN head, CosSim classifier, codebook buffer (batch_stats)."""
-    npz, sd_path = _dump(tmp_path, "orthohash", save_sd=True)
+    """Linear+BN head, CosSim classifier, codebook buffer (batch_stats).
+
+    train_steps=3 populates the BN running stats before the dump so this
+    proves the batch_stats mapping on nontrivial values (fresh-init stats
+    are mean=0/var=1, which a garbled mapping would also produce).
+    """
+    npz, sd_path = _dump(tmp_path, "orthohash", save_sd=True, train_steps=3)
     ov = _overrides("orthohash_adapter", str(tmp_path)) + [
         "model.codebook.codebook_method=file",
         f"model.codebook.path={ASSETS}/codebook_N.npy",
@@ -153,7 +160,8 @@ def test_orthohash_import(tmp_path):
 
 def test_concepthash_import_and_blob(tmp_path):
     """Flagship head mapping + the msgpack blob the CLI tool writes."""
-    npz, sd_path = _dump(tmp_path, "concepthash", save_sd=True)
+    npz, sd_path = _dump(tmp_path, "concepthash", save_sd=True,
+                         train_steps=2)
     ov = _overrides("concepthash", str(tmp_path)) + [
         "model.text_projection_dims=[32]",
         "model.fixed_center.codebook_method=file",
