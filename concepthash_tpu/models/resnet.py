@@ -1,6 +1,8 @@
 """Flax ResNet trunk (18/34/50/101) for the CNN backbone family
 (reference models/backbone/resnet.py wraps torchvision ResNets; here a
-from-scratch flax implementation — offline environments run random-init).
+from-scratch flax implementation with torchvision-exact geometry, so
+trained torchvision/reference weights import element-for-element via
+models/cnn_loader.py — offline environments run random-init).
 Returns {'features': (B, D)} via global average pooling."""
 
 from __future__ import annotations
@@ -39,15 +41,16 @@ class _BasicBlock(nn.Module):
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=0.9, dtype=self.dtype, name=name)
         res = x
-        y = nn.Conv(self.filters, (3, 3), (self.strides,) * 2, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        y = nn.Conv(self.filters, (3, 3), (self.strides,) * 2, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(self.filters, (3, 3), use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = bn("bn2")(y)
         if res.shape != y.shape:
             res = nn.Conv(self.filters, (1, 1), (self.strides,) * 2,
-                          use_bias=False, dtype=self.dtype, name="down_conv")(res)
+                          padding=0, use_bias=False, dtype=self.dtype,
+                          name="down_conv")(res)
             res = bn("down_bn")(res)
         return nn.relu(res + y)
 
@@ -62,18 +65,19 @@ class _Bottleneck(nn.Module):
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=0.9, dtype=self.dtype, name=name)
         res = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = nn.Conv(self.filters, (1, 1), padding=0, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(self.filters, (3, 3), (self.strides,) * 2, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = nn.Conv(self.filters, (3, 3), (self.strides,) * 2, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = nn.Conv(self.filters * 4, (1, 1), padding=0, use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
         y = bn("bn3")(y)
         if res.shape != y.shape:
             res = nn.Conv(self.filters * 4, (1, 1), (self.strides,) * 2,
-                          use_bias=False, dtype=self.dtype, name="down_conv")(res)
+                          padding=0, use_bias=False, dtype=self.dtype,
+                          name="down_conv")(res)
             res = bn("down_bn")(res)
         return nn.relu(res + y)
 
@@ -88,11 +92,15 @@ class ResNet(nn.Module):
         block_kind, stages = _STAGES[self.cfg.depth]
         Block = _BasicBlock if block_kind == "basic" else _Bottleneck
         x = images.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype,
-                    name="stem_conv")(x)
+        # explicit torchvision padding throughout (stem p=3, maxpool p=1,
+        # 3x3 convs p=1): flax 'SAME' centers stride-2 windows differently
+        # on even inputs, which would break element-exact weight import
+        # (utils/torch_import.py).
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  dtype=self.dtype, name="stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(stages):
             for j in range(n_blocks):
                 strides = 2 if (i > 0 and j == 0) else 1

@@ -15,6 +15,13 @@ Scope (the reference zoo's deep families):
   models/layers/adapter.py:398-416) and q/k/v/out attention adapters.
 - HF-ViT backbones (``backbone.model.embeddings/encoder.*``) without
   adapters (the reference's ViT adapter wraps different module boundaries).
+- timm ViT / Swin backbones (``backbone.{cls_token,blocks,layers,...}`` —
+  the reference re-attaches timm submodules, vit.py:64-72, swinvit.py:15-21)
+  via key translation + qkv split onto the HF-layout converters.
+- torchvision CNN backbones: ResNet18/34/50/101 (``backbone.model.conv1/
+  layer{1-4}.*`` incl. BatchNorm running stats), AlexNet and VGG16
+  (``backbone.features/fc.*``) — models/cnn_loader.py; the flax trunks are
+  torchvision-geometry-exact so weights map element-for-element.
 - Heads: the flat Linear zoo (csq/dpn/pairwise: hash_fc; ce/greedyhash:
   hash_fc + ce_fc; orthohash: hash_fc Sequential + BatchNorm + CosSim) and
   the flagship ConceptHash head (hash_queries/hash_attention/hash_fc/
@@ -117,17 +124,30 @@ def _ln(r: ImportReport, key: str) -> dict:
 
 def _backbone_prefix(sd: Dict[str, np.ndarray]) -> Tuple[str, str]:
     """-> (strip_prefix, family). The reference wraps towers differently:
-    BaseNet backbones live under ``backbone.model.`` (arch/base.py:30), the
-    coop CLIP under ``backbone.`` directly (coop.py get_backbone)."""
+    torchvision ResNets live under ``backbone.model.`` (backbone/resnet.py:16),
+    the coop CLIP / timm swin+vit / alexnet+vgg re-attach their submodules on
+    the backbone directly (coop.py get_backbone, swinvit.py:15-21,
+    vit.py:64-72, alexnet.py:13-20)."""
     for pre in ("backbone.model.", "backbone."):
         if any(k.startswith(pre + "vision_model.") for k in sd):
             return pre, "clip"
         if any(k.startswith(pre + "embeddings.") for k in sd):
             return pre, "vit"
+        if any(k.startswith(pre + "layers.0.blocks.") for k in sd):
+            return pre, "swin_timm"
+        if pre + "cls_token" in sd and any(
+                k.startswith(pre + "blocks.0.") for k in sd):
+            return pre, "vit_timm"
+        if pre + "layer1.0.conv1.weight" in sd:
+            return pre, "resnet"
+        if pre + "features.0.weight" in sd:
+            k11 = np.asarray(sd[pre + "features.0.weight"]).shape[-1] == 11
+            return pre, "alexnet" if k11 else "vgg16"
     raise ValueError(
-        "unrecognized backbone layout: no 'vision_model.' / 'embeddings.' "
-        "keys under 'backbone.' — only CLIP/ViT reference towers are "
-        f"importable (keys: {sorted(sd)[:8]}...)")
+        "unrecognized backbone layout under 'backbone.' — expected CLIP "
+        "('vision_model.'), HF-ViT ('embeddings.'), timm swin/vit, "
+        "torchvision resnet/alexnet/vgg keys "
+        f"(keys: {sorted(sd)[:8]}...)")
 
 
 def _count_layers(sd: Dict[str, np.ndarray], probe: str) -> int:
@@ -159,14 +179,145 @@ def _adapter_patch(r: ImportReport, i: int, slot: str) -> Optional[dict]:
     return patch
 
 
-def _tower_patch(sd: Dict[str, np.ndarray], r: ImportReport) -> dict:
-    """flax ClipVisionTower param patch from the reference backbone keys,
-    adapters grafted into each encoder layer."""
+def _split_qkv(w: np.ndarray, b: np.ndarray):
+    """timm fuses q/k/v into one Linear; torch Linear weight is (3D, D) with
+    q/k/v stacked along rows (the order HF's converted checkpoints use)."""
+    D = w.shape[0] // 3
+    return [(w[i * D:(i + 1) * D], b[i * D:(i + 1) * D]) for i in range(3)]
+
+
+def _timm_vit_to_hf(bsd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Translate a timm ViT state_dict (reference models/backbone/vit.py:64-72
+    re-attaches timm modules: cls_token/pos_embed/patch_embed/blocks/norm)
+    into the HF ViTModel key layout consumed by
+    clip_loader.vit_params_from_torch. Pure renames except the qkv split."""
+    out = {
+        "embeddings.cls_token": bsd["cls_token"],
+        "embeddings.position_embeddings": bsd["pos_embed"],
+        "embeddings.patch_embeddings.projection.weight":
+            bsd["patch_embed.proj.weight"],
+        "embeddings.patch_embeddings.projection.bias":
+            bsd["patch_embed.proj.bias"],
+        "layernorm.weight": bsd["norm.weight"],
+        "layernorm.bias": bsd["norm.bias"],
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in bsd:
+        t, h = f"blocks.{i}", f"encoder.layer.{i}"
+        out[f"{h}.layernorm_before.weight"] = bsd[f"{t}.norm1.weight"]
+        out[f"{h}.layernorm_before.bias"] = bsd[f"{t}.norm1.bias"]
+        out[f"{h}.layernorm_after.weight"] = bsd[f"{t}.norm2.weight"]
+        out[f"{h}.layernorm_after.bias"] = bsd[f"{t}.norm2.bias"]
+        qkv = _split_qkv(np.asarray(bsd[f"{t}.attn.qkv.weight"]),
+                         np.asarray(bsd[f"{t}.attn.qkv.bias"]))
+        for name, (w, b) in zip(("query", "key", "value"), qkv):
+            out[f"{h}.attention.attention.{name}.weight"] = w
+            out[f"{h}.attention.attention.{name}.bias"] = b
+        out[f"{h}.attention.output.dense.weight"] = bsd[f"{t}.attn.proj.weight"]
+        out[f"{h}.attention.output.dense.bias"] = bsd[f"{t}.attn.proj.bias"]
+        out[f"{h}.intermediate.dense.weight"] = bsd[f"{t}.mlp.fc1.weight"]
+        out[f"{h}.intermediate.dense.bias"] = bsd[f"{t}.mlp.fc1.bias"]
+        out[f"{h}.output.dense.weight"] = bsd[f"{t}.mlp.fc2.weight"]
+        out[f"{h}.output.dense.bias"] = bsd[f"{t}.mlp.fc2.bias"]
+        i += 1
+    return out
+
+
+def _timm_swin_to_hf(bsd: Dict[str, np.ndarray]):
+    """Translate a timm Swin state_dict (reference models/backbone/
+    swinvit.py:15-21: patch_embed/layers/norm) into the HF SwinModel layout
+    consumed by clip_loader.swin_params_from_torch; -> (hf_sd, depths).
+    timm and HF share the patch-merge neighbor order and the q/k/v row
+    order (HF's checkpoints were converted from timm), so this is renames
+    plus the qkv split; attn_mask / relative_position_index buffers are
+    recomputed by the flax tower and dropped here."""
+    out = {
+        "embeddings.patch_embeddings.projection.weight":
+            bsd["patch_embed.proj.weight"],
+        "embeddings.patch_embeddings.projection.bias":
+            bsd["patch_embed.proj.bias"],
+        "embeddings.norm.weight": bsd["patch_embed.norm.weight"],
+        "embeddings.norm.bias": bsd["patch_embed.norm.bias"],
+        "layernorm.weight": bsd["norm.weight"],
+        "layernorm.bias": bsd["norm.bias"],
+    }
+    depths = []
+    si = 0
+    while any(k.startswith(f"layers.{si}.blocks.0.") for k in bsd):
+        bi = 0
+        while f"layers.{si}.blocks.{bi}.norm1.weight" in bsd:
+            t = f"layers.{si}.blocks.{bi}"
+            h = f"encoder.layers.{si}.blocks.{bi}"
+            out[f"{h}.layernorm_before.weight"] = bsd[f"{t}.norm1.weight"]
+            out[f"{h}.layernorm_before.bias"] = bsd[f"{t}.norm1.bias"]
+            out[f"{h}.layernorm_after.weight"] = bsd[f"{t}.norm2.weight"]
+            out[f"{h}.layernorm_after.bias"] = bsd[f"{t}.norm2.bias"]
+            qkv = _split_qkv(np.asarray(bsd[f"{t}.attn.qkv.weight"]),
+                             np.asarray(bsd[f"{t}.attn.qkv.bias"]))
+            for name, (w, b) in zip(("query", "key", "value"), qkv):
+                out[f"{h}.attention.self.{name}.weight"] = w
+                out[f"{h}.attention.self.{name}.bias"] = b
+            out[f"{h}.attention.self.relative_position_bias_table"] = \
+                bsd[f"{t}.attn.relative_position_bias_table"]
+            out[f"{h}.attention.output.dense.weight"] = \
+                bsd[f"{t}.attn.proj.weight"]
+            out[f"{h}.attention.output.dense.bias"] = \
+                bsd[f"{t}.attn.proj.bias"]
+            out[f"{h}.intermediate.dense.weight"] = bsd[f"{t}.mlp.fc1.weight"]
+            out[f"{h}.intermediate.dense.bias"] = bsd[f"{t}.mlp.fc1.bias"]
+            out[f"{h}.output.dense.weight"] = bsd[f"{t}.mlp.fc2.weight"]
+            out[f"{h}.output.dense.bias"] = bsd[f"{t}.mlp.fc2.bias"]
+            bi += 1
+        if f"layers.{si}.downsample.reduction.weight" in bsd:
+            out[f"encoder.layers.{si}.downsample.reduction.weight"] = \
+                bsd[f"layers.{si}.downsample.reduction.weight"]
+            out[f"encoder.layers.{si}.downsample.norm.weight"] = \
+                bsd[f"layers.{si}.downsample.norm.weight"]
+            out[f"encoder.layers.{si}.downsample.norm.bias"] = \
+                bsd[f"layers.{si}.downsample.norm.bias"]
+        depths.append(bi)
+        si += 1
+    return out, tuple(depths)
+
+
+def _tower_patch(sd: Dict[str, np.ndarray],
+                 r: ImportReport) -> Tuple[dict, Optional[dict]]:
+    """-> (params_patch, batch_stats_patch|None) for the tower subtree, from
+    the reference backbone keys; adapters grafted into each encoder layer
+    (CLIP family only)."""
     from concepthash_tpu.models.clip_loader import (
-        vision_params_from_torch, vit_params_from_torch)
+        swin_params_from_torch, vision_params_from_torch,
+        vit_params_from_torch)
+    from concepthash_tpu.models.cnn_loader import (
+        alexnet_params_from_torch, resnet_depth_from_torch,
+        resnet_params_from_torch, vgg16_params_from_torch)
 
     pre, family = _backbone_prefix(sd)
     bsd = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+
+    if family in ("resnet", "alexnet", "vgg16", "swin_timm", "vit_timm"):
+        for k in bsd:
+            r.used.add(pre + k)
+        if family == "resnet":
+            return resnet_params_from_torch(bsd, resnet_depth_from_torch(bsd))
+        # alexnet/vgg: the reference wrapper slices classifier[0:6] into
+        # ``fc`` (alexnet.py:15-19) but upstream's arch composition crashes
+        # for these wrappers (arch/base.py:47 reads backbone.model, which
+        # only resnet/CLIP/HF-ViT wrappers set) — so also accept the raw
+        # torchvision ``classifier.{i}`` layout a user ports directly.
+        if family == "alexnet":
+            fp = "fc" if "fc.1.weight" in bsd else "classifier"
+            return alexnet_params_from_torch(bsd, fc_prefix=fp), None
+        if family == "vgg16":
+            fp = "fc" if "fc.0.weight" in bsd else "classifier"
+            return vgg16_params_from_torch(bsd, fc_prefix=fp), None
+        if family == "vit_timm":
+            L = _count_layers(bsd, "blocks.{i}.")
+            params = vit_params_from_torch(_timm_vit_to_hf(bsd), L)
+            params.pop("visual_projection", None)
+            return params, None
+        hf_sd, depths = _timm_swin_to_hf(bsd)
+        return swin_params_from_torch(hf_sd, depths), None
 
     if family == "clip":
         L = _count_layers(bsd, "vision_model.encoder.layers.{i}.")
@@ -205,7 +356,7 @@ def _tower_patch(sd: Dict[str, np.ndarray], r: ImportReport) -> dict:
             patch = _adapter_patch(r, i, slot)
             if patch is not None:
                 params[f"layers_{i}"]["self_attn"][name] = patch
-    return params
+    return params, None
 
 
 # ---------------------------------------------------------------------------
@@ -383,9 +534,22 @@ def import_reference_state_dict(sd: Dict[str, np.ndarray], method: str,
     tpl = {k: v for k, v in tpl.items()}
     r = ImportReport(sd)
 
-    tower_patch = _tower_patch(sd, r)
+    tower_patch, tower_stats = _tower_patch(sd, r)
     tower, tower_path = _tower_slot(tpl.get("params", {}))
     _graft(tower, tower_patch, tower_path, r)
+    if tower_stats:
+        # CNN towers carry BatchNorm running stats; the stats tree mirrors
+        # the params path inside the batch_stats collection.
+        node = tpl.get("batch_stats")
+        if not isinstance(node, dict):
+            raise KeyError("checkpoint carries tower BatchNorm stats but "
+                           "the template has no batch_stats collection")
+        for part in tower_path:
+            if part not in node or not isinstance(node[part], dict):
+                raise KeyError(f"template batch_stats has no subtree "
+                               f"{'/'.join(tower_path)}")
+            node = node[part]
+        _graft(node, tower_stats, ("batch_stats",) + tower_path, r)
 
     p_patch, s_patch, c_patch = _head_patches(r, method, config, tpl)
     _graft(tpl["params"], p_patch, (), r)

@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--train-steps", type=int, default=0,
                     help="run N train-mode forwards first so BatchNorm "
                          "running stats become nontrivial before the dump")
+    ap.add_argument("--backbone", default=None,
+                    choices=["resnet18", "resnet50"],
+                    help="swap the method block's CLIP backbone for a "
+                         "torchvision CNN (the only non-CLIP family whose "
+                         "arch composition works upstream — arch/base.py:47 "
+                         "reads backbone.model)")
     args = ap.parse_args()
 
     import compat
@@ -62,6 +68,11 @@ def main():
     clip_dir = os.path.join(assets, "tiny-clip")
     torch.manual_seed(args.seed)
     block = rr._model_block(args.method, assets, clip_dir)
+    if args.backbone:
+        tgt = {"resnet18": "models.backbone.resnet.ResNet18",
+               "resnet50": "models.backbone.resnet.ResNet50"}[args.backbone]
+        block["model"]["backbone"] = {"_target_": tgt, "pretrained": False}
+        block["model"]["has_adapter"] = False
     model = instantiate(DictConfig(block)["model"])
 
     if args.pth:

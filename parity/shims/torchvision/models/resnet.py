@@ -1,20 +1,125 @@
-"""Stub blocks (reference models/backbone/resnet.py:4 imports them at module
-scope; parity runs never construct torchvision ResNets)."""
+"""Functional torchvision-compatible ResNet shim.
+
+The container has no torchvision; the reference wraps its model factories
+(models/backbone/resnet.py:3-13). This is an independent reimplementation of
+the classic torchvision ResNet (He et al. 2015, as laid out in
+torchvision.models.resnet) with IDENTICAL module/state_dict structure
+(conv1, bn1, layer{1-4}.{j}.conv{k}/bn{k}/downsample.{0,1}, fc) and forward
+geometry (7x7 s2 p3 stem, 3x3 s2 p1 maxpool, stride-2 at each stage's first
+block, 1x1 downsample), so the parity harness can build and run reference
+CNN models and their checkpoints import-test against the flax rebuild
+(concepthash_tpu/models/resnet.py). No pretrained weights are available:
+``pretrained=True`` raises.
+"""
+
+import torch
+import torch.nn as nn
 
 
-class _Unavailable:
-    def __init__(self, *a, **k):
-        raise RuntimeError("torchvision ResNet blocks are unavailable in this "
-                           "container; parity runs use CLIP backbones only")
-
-
-class BasicBlock(_Unavailable):
+class BasicBlock(nn.Module):
     expansion = 1
 
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+        self.stride = stride
 
-class Bottleneck(_Unavailable):
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
     expansion = 4
 
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
 
-def __getattr__(name):
-    return _Unavailable
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    def __init__(self, block, layers, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+        self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+        self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                        nonlinearity="relu")
+            elif isinstance(m, nn.BatchNorm2d):
+                nn.init.ones_(m.weight)
+                nn.init.zeros_(m.bias)
+
+    def _make_layer(self, block, planes, n_blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                          stride=stride, bias=False),
+                nn.BatchNorm2d(planes * block.expansion),
+            )
+        blocks = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, n_blocks):
+            blocks.append(block(self.inplanes, planes))
+        return nn.Sequential(*blocks)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def _factory(block, layers):
+    def make(pretrained=False, weights=None, **kwargs):
+        if pretrained or weights:
+            raise RuntimeError(
+                "torchvision pretrained weights are unavailable in this "
+                "container; build with pretrained=False")
+        return ResNet(block, layers, **kwargs)
+
+    return make
+
+
+resnet18 = _factory(BasicBlock, [2, 2, 2, 2])
+resnet34 = _factory(BasicBlock, [3, 4, 6, 3])
+resnet50 = _factory(Bottleneck, [3, 4, 6, 3])
+resnet101 = _factory(Bottleneck, [3, 4, 23, 3])

@@ -1,0 +1,129 @@
+"""CNN trunk port parity: real torch forwards vs the flax trunks.
+
+The flax ResNet/AlexNet/VGG16 (models/resnet.py, models/convnets.py) claim
+torchvision-exact geometry so trained weights import element-for-element
+(models/cnn_loader.py). These tests build the torchvision-compatible torch
+shims (parity/shims/torchvision — identical state_dict layout and forward
+geometry), convert their randomly-initialized (and, for BN, train-stepped)
+weights, and assert the two frameworks produce the same features.
+
+Reference surface: models/backbone/{resnet,alexnet,vgg16}.py wrap these
+torchvision models; resnet is the only CNN family whose arch composition
+works upstream (arch/base.py:47 reads backbone.model) — the others cover
+users porting raw torchvision weights.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIMS = os.path.join(REPO, "parity", "shims")
+
+
+@pytest.fixture(scope="module")
+def tvm():
+    """The torchvision.models shim, imported without leaving parity/shims
+    on sys.path (only the 'torchvision*' module names get cached)."""
+    sys.path.insert(0, SHIMS)
+    try:
+        import torchvision.models as m
+        return m
+    finally:
+        sys.path.remove(SHIMS)
+
+
+def _torch_batch(seed, size):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(2, 3, size, size, generator=g)
+
+
+def _bn_warmup(model, size, steps=3, seed=7):
+    import torch
+
+    model.train()
+    with torch.no_grad():
+        for i in range(steps):
+            model(_torch_batch(seed + i, size))
+    model.eval()
+
+
+def _np_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_resnet_port(tvm, depth):
+    import torch
+
+    from concepthash_tpu.models.cnn_loader import resnet_params_from_torch
+    from concepthash_tpu.models.resnet import ResNet, ResNetConfig
+
+    torch.manual_seed(0)
+    m = getattr(tvm, f"resnet{depth}")()
+    _bn_warmup(m, 64)
+    x = _torch_batch(1, 64)
+    with torch.no_grad():  # the reference wrapper's trunk forward
+        y = m.maxpool(m.relu(m.bn1(m.conv1(x))))
+        y = m.layer4(m.layer3(m.layer2(m.layer1(y))))
+        feats_t = torch.flatten(m.avgpool(y), 1).numpy()
+
+    params, stats = resnet_params_from_torch(_np_sd(m), depth)
+    out = ResNet(ResNetConfig(depth)).apply(
+        {"params": params, "batch_stats": stats},
+        x.numpy().transpose(0, 2, 3, 1), train=False)
+    np.testing.assert_allclose(np.asarray(out["features"]), feats_t,
+                               atol=2e-4, rtol=1e-4)
+    # the BN warmup must have produced nontrivial running stats, or this
+    # proves nothing about the stats mapping
+    assert abs(np.asarray(stats["stem_bn"]["mean"])).max() > 1e-3
+
+
+def _classifier_features(m, x, n=6):
+    import torch
+
+    with torch.no_grad():
+        y = torch.flatten(m.avgpool(m.features(x)), 1)
+        for i in range(n):
+            y = m.classifier[i](y)
+    return y.numpy()
+
+
+def test_alexnet_port(tvm):
+    import torch
+
+    from concepthash_tpu.models.cnn_loader import alexnet_params_from_torch
+    from concepthash_tpu.models.convnets import AlexNet
+
+    torch.manual_seed(0)
+    m = tvm.alexnet().eval()
+    x = _torch_batch(1, 64)
+    feats_t = _classifier_features(m, x)
+
+    params = alexnet_params_from_torch(_np_sd(m), fc_prefix="classifier")
+    out = AlexNet().apply({"params": params},
+                          x.numpy().transpose(0, 2, 3, 1), train=False)
+    np.testing.assert_allclose(np.asarray(out["features"]), feats_t,
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_vgg16_port(tvm):
+    import torch
+
+    from concepthash_tpu.models.cnn_loader import vgg16_params_from_torch
+    from concepthash_tpu.models.convnets import VGG16
+
+    torch.manual_seed(0)
+    m = tvm.vgg16().eval()
+    x = _torch_batch(1, 64)
+    feats_t = _classifier_features(m, x)
+
+    params = vgg16_params_from_torch(_np_sd(m), fc_prefix="classifier")
+    out = VGG16().apply({"params": params},
+                        x.numpy().transpose(0, 2, 3, 1), train=False)
+    np.testing.assert_allclose(np.asarray(out["features"]), feats_t,
+                               atol=2e-4, rtol=1e-4)
