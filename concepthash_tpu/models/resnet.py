@@ -24,6 +24,12 @@ _STAGES = {
 @dataclasses.dataclass(frozen=True)
 class ResNetConfig:
     depth: int = 50
+    # The reference's ResNet18 wrapper (and ONLY ResNet18 — 50/101 have no
+    # such override) forces every BatchNorm to eval mode during training
+    # (models/backbone/resnet.py:76-82): stats never update and the forward
+    # always normalizes with the loaded running stats. frozen_bn mirrors
+    # that (configs/backbone/resnet18.yaml sets it true).
+    frozen_bn: bool = False
 
     @property
     def features_size(self) -> int:
@@ -91,6 +97,8 @@ class ResNet(nn.Module):
                  with_feature_map: bool = False, **_):
         block_kind, stages = _STAGES[self.cfg.depth]
         Block = _BasicBlock if block_kind == "basic" else _Bottleneck
+        if self.cfg.frozen_bn:
+            train = False  # eval-mode BN even in training (reference quirk)
         x = images.astype(self.dtype)
         # explicit torchvision padding throughout (stem p=3, maxpool p=1,
         # 3x3 convs p=1): flax 'SAME' centers stride-2 windows differently

@@ -65,7 +65,9 @@ def trunk_from_config(backbone_cfg: dict, adapters=None, dtype=jnp.float32,
     family = backbone_cfg.get("family", "clip")
     if family == "resnet":
         return Trunk(family="resnet",
-                     resnet_cfg=ResNetConfig(int(backbone_cfg.get("depth", 50))),
+                     resnet_cfg=ResNetConfig(
+                         int(backbone_cfg.get("depth", 50)),
+                         frozen_bn=bool(backbone_cfg.get("frozen_bn", False))),
                      dtype=dtype, name=name)
     if family == "swin":
         return Trunk(family="swin",

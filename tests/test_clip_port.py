@@ -329,3 +329,154 @@ def test_attention_adapters_identity_and_trainable(hf_model):
         assert k in sa, sorted(sa)
     # per-layer adapters are replaced by the attention variant
     assert "adapter_attn" not in p1["layers_0"]
+
+
+def _fuse_qkv(hf_sd, prefix):
+    """Row-stack q/k/v into timm's fused qkv Linear (timm ViT/Swin use
+    nn.Linear(dim, 3*dim) with rows ordered q,k,v — the order HF's
+    conversion scripts unbind)."""
+    import torch
+
+    w = torch.cat([hf_sd[f"{prefix}.{n}.weight"] for n in
+                   ("query", "key", "value")], dim=0)
+    b = torch.cat([hf_sd[f"{prefix}.{n}.bias"] for n in
+                   ("query", "key", "value")], dim=0)
+    return w, b
+
+
+def test_timm_vit_checkpoint_import():
+    """utils/torch_import handles timm-layout ViT backbones (the reference
+    re-attaches timm submodules on the wrapper: cls_token/pos_embed/
+    patch_embed/blocks/norm — models/backbone/vit.py:64-72). A timm-layout
+    state_dict built from a tiny HF ViT (fused qkv, timm names) must
+    translate onto the flax tower and reproduce the HF torch forward."""
+    from transformers import ViTConfig, ViTModel
+
+    from concepthash_tpu.models.clip_loader import (merge_ported,
+                                                    vit_config_from_hf)
+    from concepthash_tpu.utils.torch_import import ImportReport, _tower_patch
+
+    import torch
+
+    hf_cfg = ViTConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       image_size=32, patch_size=8)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = hf.state_dict()
+
+    timm = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for i in range(2):
+        h, t = f"encoder.layer.{i}", f"blocks.{i}"
+        timm[f"{t}.norm1.weight"] = sd[f"{h}.layernorm_before.weight"]
+        timm[f"{t}.norm1.bias"] = sd[f"{h}.layernorm_before.bias"]
+        timm[f"{t}.norm2.weight"] = sd[f"{h}.layernorm_after.weight"]
+        timm[f"{t}.norm2.bias"] = sd[f"{h}.layernorm_after.bias"]
+        w, b = _fuse_qkv(sd, f"{h}.attention.attention")
+        timm[f"{t}.attn.qkv.weight"], timm[f"{t}.attn.qkv.bias"] = w, b
+        timm[f"{t}.attn.proj.weight"] = sd[f"{h}.attention.output.dense.weight"]
+        timm[f"{t}.attn.proj.bias"] = sd[f"{h}.attention.output.dense.bias"]
+        timm[f"{t}.mlp.fc1.weight"] = sd[f"{h}.intermediate.dense.weight"]
+        timm[f"{t}.mlp.fc1.bias"] = sd[f"{h}.intermediate.dense.bias"]
+        timm[f"{t}.mlp.fc2.weight"] = sd[f"{h}.output.dense.weight"]
+        timm[f"{t}.mlp.fc2.bias"] = sd[f"{h}.output.dense.bias"]
+    full = {"backbone." + k: v.numpy() for k, v in timm.items()}
+
+    ported, stats = _tower_patch(full, ImportReport(full))
+    assert stats is None
+
+    vcfg = vit_config_from_hf(hf_cfg)
+    tower = ClipVisionTower(vcfg)
+    rng = np.random.default_rng(9)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    init = tower.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    out = tower.apply({"params": merge_ported(init, ported)},
+                      jnp.asarray(imgs))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out["cls_postnorm"]),
+        theirs.last_hidden_state[:, 0].numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_timm_swin_checkpoint_import():
+    """timm-layout Swin backbones (reference models/backbone/swinvit.py:15-21
+    re-attaches patch_embed/layers/norm) translate through utils/torch_import
+    onto the flax SwinTransformer and reproduce the HF torch forward."""
+    from transformers import SwinConfig as HFSwinConfig
+    from transformers import SwinModel
+
+    from concepthash_tpu.models.clip_loader import merge_ported
+    from concepthash_tpu.models.swin import SwinConfig, SwinTransformer
+    from concepthash_tpu.utils.torch_import import ImportReport, _tower_patch
+
+    import torch
+
+    hf_cfg = HFSwinConfig(image_size=64, patch_size=2, embed_dim=16,
+                          depths=[2, 2, 1, 1], num_heads=[2, 2, 2, 2],
+                          window_size=4)
+    hf = SwinModel(hf_cfg, add_pooling_layer=True).eval()
+    sd = hf.state_dict()
+
+    timm = {
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+        "patch_embed.norm.weight": sd["embeddings.norm.weight"],
+        "patch_embed.norm.bias": sd["embeddings.norm.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for si, depth in enumerate([2, 2, 1, 1]):
+        for bi in range(depth):
+            h = f"encoder.layers.{si}.blocks.{bi}"
+            t = f"layers.{si}.blocks.{bi}"
+            timm[f"{t}.norm1.weight"] = sd[f"{h}.layernorm_before.weight"]
+            timm[f"{t}.norm1.bias"] = sd[f"{h}.layernorm_before.bias"]
+            timm[f"{t}.norm2.weight"] = sd[f"{h}.layernorm_after.weight"]
+            timm[f"{t}.norm2.bias"] = sd[f"{h}.layernorm_after.bias"]
+            w, b = _fuse_qkv(sd, f"{h}.attention.self")
+            timm[f"{t}.attn.qkv.weight"], timm[f"{t}.attn.qkv.bias"] = w, b
+            timm[f"{t}.attn.relative_position_bias_table"] = \
+                sd[f"{h}.attention.self.relative_position_bias_table"]
+            timm[f"{t}.attn.proj.weight"] = \
+                sd[f"{h}.attention.output.dense.weight"]
+            timm[f"{t}.attn.proj.bias"] = \
+                sd[f"{h}.attention.output.dense.bias"]
+            timm[f"{t}.mlp.fc1.weight"] = sd[f"{h}.intermediate.dense.weight"]
+            timm[f"{t}.mlp.fc1.bias"] = sd[f"{h}.intermediate.dense.bias"]
+            timm[f"{t}.mlp.fc2.weight"] = sd[f"{h}.output.dense.weight"]
+            timm[f"{t}.mlp.fc2.bias"] = sd[f"{h}.output.dense.bias"]
+        dk = f"encoder.layers.{si}.downsample.reduction.weight"
+        if dk in sd:
+            timm[f"layers.{si}.downsample.reduction.weight"] = sd[dk]
+            timm[f"layers.{si}.downsample.norm.weight"] = \
+                sd[f"encoder.layers.{si}.downsample.norm.weight"]
+            timm[f"layers.{si}.downsample.norm.bias"] = \
+                sd[f"encoder.layers.{si}.downsample.norm.bias"]
+    full = {"backbone." + k: v.numpy() for k, v in timm.items()}
+
+    ported, stats = _tower_patch(full, ImportReport(full))
+    assert stats is None
+
+    tower = SwinTransformer(SwinConfig(variant="test", image_size=64,
+                                       patch_size=2, window_size=4))
+    rng = np.random.default_rng(13)
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    init = tower.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    out = tower.apply({"params": merge_ported(init, ported)},
+                      jnp.asarray(imgs))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out["features"]),
+                               theirs.pooler_output.numpy(),
+                               rtol=2e-4, atol=2e-4)

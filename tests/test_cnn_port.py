@@ -83,6 +83,39 @@ def test_resnet_port(tvm, depth):
     assert abs(np.asarray(stats["stem_bn"]["mean"])).max() > 1e-3
 
 
+def test_resnet_frozen_bn_matches_reference_quirk():
+    """The reference's ResNet18 wrapper pins BatchNorm to eval mode during
+    training (backbone/resnet.py:76-82; depths 50/101 have no override), so
+    train-mode forwards neither update the running stats nor normalize by
+    batch statistics. ResNetConfig(frozen_bn=True) mirrors that: a
+    train-mode apply returns batch_stats unchanged and the same output as
+    the eval forward."""
+    import jax
+    import numpy as np
+
+    from concepthash_tpu.models.resnet import ResNet, ResNetConfig
+
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(
+        np.float32)
+    model = ResNet(ResNetConfig(18, frozen_bn=True))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out_train, mutated = model.apply(variables, x, train=True,
+                                     mutable=["batch_stats"])
+    out_eval = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_train["features"]),
+                               np.asarray(out_eval["features"]))
+    jax.tree_util.tree_map(
+        np.testing.assert_allclose, mutated["batch_stats"],
+        dict(variables["batch_stats"]))
+
+    # and the unfrozen default does neither: stats move, outputs differ
+    model2 = ResNet(ResNetConfig(18))
+    v2 = model2.init(jax.random.PRNGKey(0), x, train=False)
+    out2, mut2 = model2.apply(v2, x, train=True, mutable=["batch_stats"])
+    stem = np.asarray(mut2["batch_stats"]["stem_bn"]["mean"])
+    assert np.abs(stem).max() > 1e-4
+
+
 def _classifier_features(m, x, n=6):
     import torch
 

@@ -34,7 +34,8 @@ pytestmark = pytest.mark.skipif(
     reason="reference tree or parity assets unavailable")
 
 
-def _dump(tmp_path, method, pth=None, save_sd=False, train_steps=0):
+def _dump(tmp_path, method, pth=None, save_sd=False, train_steps=0,
+          backbone=None):
     out = str(tmp_path / f"{method}.npz")
     cmd = [sys.executable,
            os.path.join(REPO, "parity", "dump_reference_forward.py"),
@@ -43,6 +44,8 @@ def _dump(tmp_path, method, pth=None, save_sd=False, train_steps=0):
         cmd += ["--pth", pth]
     if train_steps:
         cmd += ["--train-steps", str(train_steps)]
+    if backbone:
+        cmd += ["--backbone", backbone]
     sd_path = None
     if save_sd:
         sd_path = str(tmp_path / f"{method}_sd.pth")
@@ -156,6 +159,41 @@ def test_orthohash_import(tmp_path):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["logits"]), npz["logits"],
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_resnet_import(tmp_path, depth):
+    """CNN tower path: the reference's dpsh over torchvision ResNet
+    (backbone/resnet.py keeps the torchvision module at backbone.model —
+    the only non-CLIP family whose upstream arch composition works,
+    arch/base.py:47).
+
+    train_steps=3 runs train-mode reference forwards before the dump. For
+    resnet50 that makes the BatchNorm running stats nontrivial, proving the
+    tower batch_stats graft. For resnet18 the reference wrapper pins BN to
+    eval during training (backbone/resnet.py:76-82 — ONLY this depth), so
+    the dumped stats must STAY at init; the rebuild mirrors that via
+    frozen_bn (configs/backbone/resnet18.yaml)."""
+    npz, sd_path = _dump(tmp_path, "dpsh", save_sd=True, train_steps=3,
+                         backbone=f"resnet{depth}")
+    ov = [
+        "dataset=synthetic", "model=dpsh_adapter", f"backbone=resnet{depth}",
+        "optim=sgd", "transforms=test", "model.nbit=16",
+        "model.has_adapter=false", "dataset.nclass=6",
+        f"data_dir={ASSETS}", f"logdir={tmp_path}",
+    ]
+    cfg, model, tpl = _build(ov, str(tmp_path))
+    out, newvars = _import_and_apply(npz, sd_path, "dpsh", cfg, model, tpl)
+    np.testing.assert_allclose(np.asarray(out["codes"]), npz["codes"],
+                               atol=2e-5)
+    stem = np.abs(np.asarray(
+        newvars["batch_stats"]["backbone"]["tower"]["stem_bn"]["mean"]))
+    if depth == 50:
+        # nontrivial imported running stats (a garbled mapping that left
+        # the template's zeros in place would pass a fresh-init comparison)
+        assert stem.max() > 1e-3
+    else:
+        assert stem.max() == 0.0  # the reference froze BN at this depth
 
 
 def test_concepthash_import_and_blob(tmp_path):
