@@ -29,7 +29,7 @@ def main():
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
-                             "adsh", "semicon", "itq", "pca"])
+                             "adsh", "semicon", "itq", "pca", "dpsh_r18"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
@@ -57,12 +57,24 @@ def main():
                    "semicon_ce": "semicon_ce_adapter",
                    "concepthash_sa": "concepthash_sa",
                    "adsh": "adsh", "semicon": "semicon",
-                   "itq": "itq", "pca": "pca"}[args.method]
+                   "itq": "itq", "pca": "pca",
+                   "dpsh_r18": "dpsh_adapter"}[args.method]
 
+    if args.method.endswith("_r18"):
+        # CNN-backbone row: random-init trainable ResNet18 on both sides
+        # (run_reference.py compose; no adapters, backbone at full lr)
+        backbone_ov = ["backbone=resnet18", "model.has_adapter=false",
+                       "backbone_lr_scale=1"]
+    else:
+        backbone_ov = ["backbone=tiny_test",
+                       f"backbone.name={clip_dir}", "backbone.pretrained=true"]
+
+    # group order matters: the model group's defaults override /backbone,
+    # so the explicit backbone selection must come after model=
     overrides = [
-        "dataset=synthetic", f"model={model_group}", "backbone=tiny_test",
+        "dataset=synthetic", f"model={model_group}",
+    ] + backbone_ov + [
         "optim=sgd", "transforms=test",
-        f"backbone.name={clip_dir}", "backbone.pretrained=true",
         f"model.nbit={_P['nbit']}", f"dataset.nclass={_P['nclass']}",
         f"batch_size={_P['batch_size']}", f"epochs={args.epochs}",
         "eval_interval=10",

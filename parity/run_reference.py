@@ -342,7 +342,21 @@ def compose(method: str, assets: str, logdir: str, epochs: int, seed: int):
         "scheduler": {"_target_": "utils.lr_scheduler.cosine_decay_linear_warmup",
                       "epochs": epochs, "warmup_epochs": max(epochs // 10, 1)},
     }
-    block = _model_block(method, assets, clip_dir)
+    if method.endswith("_r18"):
+        # CNN-backbone variant: same method block over torchvision ResNet18
+        # (backbone/resnet.py:65-101 — random init, trainable at full lr:
+        # trainers/base.py:136-139 puts get_backbone() params at
+        # backbone_lr_scale * lr). No adapters (CLIP/ViT-only upstream,
+        # arch/base.py:31-44). Both sides train their own random-init
+        # tower — the row compares trained quality, not ported weights.
+        block = _model_block(method[:-4], assets, clip_dir)
+        block["model"]["backbone"] = {
+            "_target_": "models.backbone.resnet.ResNet18",
+            "pretrained": False}
+        block["model"]["has_adapter"] = False
+        cfg["backbone_lr_scale"] = 1
+    else:
+        block = _model_block(method, assets, clip_dir)
     if block["criterion"].get("step_continuation") == "EPOCHS":
         block["criterion"]["step_continuation"] = epochs
     cfg.update(block)
@@ -355,7 +369,7 @@ def main():
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
-                             "adsh", "semicon", "itq", "pca"])
+                             "adsh", "semicon", "itq", "pca", "dpsh_r18"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
