@@ -296,10 +296,47 @@ def _tower_patch(sd: Dict[str, np.ndarray],
     bsd = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
 
     if family in ("resnet", "alexnet", "vgg16", "swin_timm", "vit_timm"):
+        # Track which backbone keys the converters actually READ so the
+        # unused-key report stays honest for these families too; buffers and
+        # final classifiers the flax trunks intentionally drop are
+        # whitelisted explicitly.
+        class _Tracked(dict):
+            reads: set = set()
+
+            def __getitem__(self, k):
+                self.reads.add(k)
+                return dict.__getitem__(self, k)
+
+            def __contains__(self, k):  # layout probes count as consumption
+                self.reads.add(k)
+                return dict.__contains__(self, k)
+
+        tracked = _Tracked(bsd)
+        tracked.reads = set()
+        _DROP_SUFFIXES = (
+            ".num_batches_tracked",          # torch BN step counter
+            ".attn_mask",                    # swin shift masks (recomputed)
+            ".relative_position_index",      # swin bias index (recomputed)
+        )
+        _DROP_KEYS = {
+            # final 1000-way classifiers torchvision ships but the trunks
+            # (and the reference wrappers, which delete/slice them) drop
+            "fc.weight", "fc.bias", "classifier.6.weight",
+            "classifier.6.bias",
+        }
         for k in bsd:
-            r.used.add(pre + k)
+            if k.endswith(_DROP_SUFFIXES) or k in _DROP_KEYS:
+                r.used.add(pre + k)
+
+        def _done(result):
+            for k in tracked.reads:
+                r.used.add(pre + k)
+            return result
+
+        bsd = tracked
         if family == "resnet":
-            return resnet_params_from_torch(bsd, resnet_depth_from_torch(bsd))
+            return _done(
+                resnet_params_from_torch(bsd, resnet_depth_from_torch(bsd)))
         # alexnet/vgg: the reference wrapper slices classifier[0:6] into
         # ``fc`` (alexnet.py:15-19) but upstream's arch composition crashes
         # for these wrappers (arch/base.py:47 reads backbone.model, which
@@ -307,17 +344,17 @@ def _tower_patch(sd: Dict[str, np.ndarray],
         # torchvision ``classifier.{i}`` layout a user ports directly.
         if family == "alexnet":
             fp = "fc" if "fc.1.weight" in bsd else "classifier"
-            return alexnet_params_from_torch(bsd, fc_prefix=fp), None
+            return _done((alexnet_params_from_torch(bsd, fc_prefix=fp), None))
         if family == "vgg16":
             fp = "fc" if "fc.0.weight" in bsd else "classifier"
-            return vgg16_params_from_torch(bsd, fc_prefix=fp), None
+            return _done((vgg16_params_from_torch(bsd, fc_prefix=fp), None))
         if family == "vit_timm":
             L = _count_layers(bsd, "blocks.{i}.")
             params = vit_params_from_torch(_timm_vit_to_hf(bsd), L)
             params.pop("visual_projection", None)
-            return params, None
+            return _done((params, None))
         hf_sd, depths = _timm_swin_to_hf(bsd)
-        return swin_params_from_torch(hf_sd, depths), None
+        return _done((swin_params_from_torch(hf_sd, depths), None))
 
     if family == "clip":
         L = _count_layers(bsd, "vision_model.encoder.layers.{i}.")

@@ -16,6 +16,20 @@ import torch
 import torch.nn as nn
 
 
+def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+    """torchvision.models.resnet.conv3x3 (imported by the reference's
+    models/arch/semicon.py:7)."""
+    return nn.Conv2d(in_planes, out_planes, 3, stride=stride,
+                     padding=dilation, groups=groups, bias=False,
+                     dilation=dilation)
+
+
+def conv1x1(in_planes, out_planes, stride=1):
+    """torchvision.models.resnet.conv1x1 (imported by the reference's
+    models/arch/semicon.py:7)."""
+    return nn.Conv2d(in_planes, out_planes, 1, stride=stride, bias=False)
+
+
 class BasicBlock(nn.Module):
     expansion = 1
 
