@@ -753,7 +753,7 @@ def main():
     # train throughput is the more load-bearing of the two. Estimates are
     # the r4 measured costs + headroom (train_chunked 136-250s, encode
     # 122-168s across rehearsals).
-    stage("train_chunked", 220, _train_chunk)
+    stage("train_chunked", 250, _train_chunk)
     emit()
     stage("encode", 180, _encode)
     emit()  # r02-compatible field set complete

@@ -292,6 +292,29 @@ class RetrievalExperiment:
         self.steps_per_epoch = steps_per_epoch
 
     # ------------------------------------------------------------------ train
+    def _extract_train_matrix(self, encode_batch) -> np.ndarray:
+        """(Ntrain, D) matrix extracted in DATASET order — unshuffled
+        drop_last=False loader, rows scattered by batch index, pad tail
+        masked by n_valid. The shared contract for the SSDH structure, the
+        ODC memory seeding, and the shallow fit; ``encode_batch(batch, i)``
+        returns the (bs, D) codes for loader batch i."""
+        n = len(self.datasets["train"])
+        bs = int(self.config.get("batch_size", 64))
+        feats = None
+        loader = Loader(self.datasets["train"], bs, shuffle=False,
+                        drop_last=False, **self._loader_kw)
+        for i, batch in enumerate(loader):
+            nv = batch.pop("n_valid")
+            arr = np.asarray(encode_batch(batch, i))[:nv]
+            if feats is None:
+                feats = np.zeros((n, arr.shape[1]), np.float32)
+            feats[batch["index"][:nv]] = arr
+        return feats
+
+    def _eval_codes_batch(self, batch, _i=None):
+        codes, _ = self.eval_step(self.state, shard_batch(batch, self.mesh))
+        return codes["codes"]
+
     def _prepare_structure(self):
         """SSDH: build the pairwise semantic structure from initial features
         (reference trainers/ssdh.py:9-12 precomputes before epoch 1).
@@ -304,19 +327,7 @@ class RetrievalExperiment:
         IndexError on the dropped tail."""
         from concepthash_tpu.losses.unsupervised import ssdh_structure
 
-        n = len(self.datasets["train"])
-        bs = int(self.config.get("batch_size", 64))
-        feats = None
-        loader = Loader(self.datasets["train"], bs, shuffle=False,
-                        drop_last=False, **self._loader_kw)
-        for batch in loader:
-            nv = batch.pop("n_valid")
-            codes, _ = self.eval_step(self.state,
-                                      shard_batch(batch, self.mesh))
-            arr = np.asarray(codes["codes"])[:nv]
-            if feats is None:
-                feats = np.zeros((n, arr.shape[1]), np.float32)
-            feats[batch["index"][:nv]] = arr
+        feats = self._extract_train_matrix(self._eval_codes_batch)
         alpha = float((self.config.get("criterion") or {}).get("alpha", 2.0))
         self._structure = ssdh_structure(feats, alpha=alpha)
         logging.info("ssdh structure: %.1f%% positive, %.1f%% negative",
@@ -332,16 +343,8 @@ class RetrievalExperiment:
         from sklearn.cluster import KMeans
 
         n = len(self.datasets["train"])
-        nbit = int(self.config["model"]["nbit"])
         k = int(self.config["model"]["nclass"])
-        bs = int(self.config.get("batch_size", 64))
-        feats = np.zeros((n, nbit), np.float32)
-        loader = Loader(self.datasets["train"], bs, shuffle=False,
-                        drop_last=False, **self._loader_kw)
-        for batch in loader:
-            nv = batch.pop("n_valid")
-            codes, _ = self.eval_step(self.state, shard_batch(batch, self.mesh))
-            feats[batch["index"][:nv]] = np.asarray(codes["codes"])[:nv]
+        feats = self._extract_train_matrix(self._eval_codes_batch)
         feats /= np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
         km = KMeans(n_clusters=k, n_init=3,
                     random_state=int(self.config.get("seed", 42))).fit(feats)
@@ -726,7 +729,6 @@ class RetrievalExperiment:
         reference's augmented fit with otherwise identical features and an
         SVD that matches sklearn to |cos|=1 per component (parity pca row).
         Deterministic given the run seed (per-batch fold_in)."""
-        bs = int(self.config.get("batch_size", 64))
         crop, norm, augment = self.crop, self.norm, self.augment
         model = self.model
 
@@ -737,18 +739,9 @@ class RetrievalExperiment:
             return model.apply(state.variables(), x, train=False)["codes"]
 
         rng = jax.random.PRNGKey(int(self.config.get("seed", 42)))
-        n = len(self.datasets["train"])
-        feats = None
-        loader = Loader(self.datasets["train"], bs, shuffle=False,
-                        drop_last=False, **self._loader_kw)
-        for i, batch in enumerate(loader):
-            nv = batch.pop("n_valid")
-            arr = np.asarray(encode(self.state, batch["image"],
-                                    jax.random.fold_in(rng, i)))[:nv]
-            if feats is None:
-                feats = np.zeros((n, arr.shape[1]), np.float32)
-            feats[batch["index"][:nv]] = arr
-        return feats
+        return self._extract_train_matrix(
+            lambda batch, i: encode(self.state, batch["image"],
+                                    jax.random.fold_in(rng, i)))
 
     def _main_shallow(self):
         """One-pass fit (reference trainers/shallow.py:104-121): extract

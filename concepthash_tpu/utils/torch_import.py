@@ -280,6 +280,48 @@ def _timm_swin_to_hf(bsd: Dict[str, np.ndarray]):
     return out, tuple(depths)
 
 
+class _ReadTracked(dict):
+    """dict that records which keys the weight converters read, so only
+    actually-consumed checkpoint keys are marked used (anything else
+    surfaces in report.unused instead of being silently dropped)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.reads = set()
+
+    def __getitem__(self, k):
+        self.reads.add(k)
+        return dict.__getitem__(self, k)
+
+    def __contains__(self, k):  # layout probes count as consumption
+        self.reads.add(k)
+        return dict.__contains__(self, k)
+
+
+_CNN_DROP_SUFFIXES = (
+    ".num_batches_tracked",          # torch BN step counter
+    ".attn_mask",                    # swin shift masks (recomputed)
+    ".relative_position_index",      # swin bias index (recomputed)
+)
+_CNN_DROP_KEYS = {
+    # final 1000-way classifiers torchvision ships but the trunks (and the
+    # reference wrappers, which delete/slice them) drop
+    "fc.weight", "fc.bias", "classifier.6.weight", "classifier.6.bias",
+}
+# CLIP checkpoints carry the text tower + logit scale; the rebuild's
+# language path is baked into constants (the imported center buffer), so
+# these are deliberate drops, not unsupported variants. position_ids are
+# non-weight buffers. The in-tower adapter copies (clip_add_adapter_ mounts
+# the modules inside encoder layers, adapter.py:104-121/205-235) alias the
+# adapter_params ParameterDict entries the importer consumes — duplicates,
+# not drops.
+_CLIP_DROP_PREFIXES = ("text_model.", "text_projection")
+_CLIP_DROP_SUFFIXES = (".position_ids",)
+_CLIP_DROP_KEYS = {"logit_scale"}
+_CLIP_ALIAS_MARKERS = (".adapt_mlp_1.", ".adapt_mlp_2.", ".q_adapter.",
+                       ".k_adapter.", ".v_adapter.", ".out_adapter.")
+
+
 def _tower_patch(sd: Dict[str, np.ndarray],
                  r: ImportReport) -> Tuple[dict, Optional[dict]]:
     """-> (params_patch, batch_stats_patch|None) for the tower subtree, from
@@ -300,32 +342,9 @@ def _tower_patch(sd: Dict[str, np.ndarray],
         # unused-key report stays honest for these families too; buffers and
         # final classifiers the flax trunks intentionally drop are
         # whitelisted explicitly.
-        class _Tracked(dict):
-            reads: set = set()
-
-            def __getitem__(self, k):
-                self.reads.add(k)
-                return dict.__getitem__(self, k)
-
-            def __contains__(self, k):  # layout probes count as consumption
-                self.reads.add(k)
-                return dict.__contains__(self, k)
-
-        tracked = _Tracked(bsd)
-        tracked.reads = set()
-        _DROP_SUFFIXES = (
-            ".num_batches_tracked",          # torch BN step counter
-            ".attn_mask",                    # swin shift masks (recomputed)
-            ".relative_position_index",      # swin bias index (recomputed)
-        )
-        _DROP_KEYS = {
-            # final 1000-way classifiers torchvision ships but the trunks
-            # (and the reference wrappers, which delete/slice them) drop
-            "fc.weight", "fc.bias", "classifier.6.weight",
-            "classifier.6.bias",
-        }
+        tracked = _ReadTracked(bsd)
         for k in bsd:
-            if k.endswith(_DROP_SUFFIXES) or k in _DROP_KEYS:
+            if k.endswith(_CNN_DROP_SUFFIXES) or k in _CNN_DROP_KEYS:
                 r.used.add(pre + k)
 
         def _done(result):
@@ -356,18 +375,20 @@ def _tower_patch(sd: Dict[str, np.ndarray],
         hf_sd, depths = _timm_swin_to_hf(bsd)
         return _done((swin_params_from_torch(hf_sd, depths), None))
 
+    tracked = _ReadTracked(bsd)
+    for k in bsd:
+        if (k.startswith(_CLIP_DROP_PREFIXES)
+                or k.endswith(_CLIP_DROP_SUFFIXES) or k in _CLIP_DROP_KEYS
+                or any(m in k for m in _CLIP_ALIAS_MARKERS)):
+            r.used.add(pre + k)
     if family == "clip":
         L = _count_layers(bsd, "vision_model.encoder.layers.{i}.")
-        params = vision_params_from_torch(bsd, L)
-        for k in bsd:
-            r.used.add(pre + k)
+        params = vision_params_from_torch(tracked, L)
         if params.get("visual_projection") is None:
             params.pop("visual_projection")
     else:
         L = _count_layers(bsd, "encoder.layer.{i}.")
-        params = vit_params_from_torch(bsd, L)
-        for k in bsd:
-            r.used.add(pre + k)
+        params = vit_params_from_torch(tracked, L)
         if any(k.startswith("adapter_params.") for k in sd):
             raise NotImplementedError(
                 "reference ViT adapters wrap different module boundaries "
@@ -393,6 +414,8 @@ def _tower_patch(sd: Dict[str, np.ndarray],
             patch = _adapter_patch(r, i, slot)
             if patch is not None:
                 params[f"layers_{i}"]["self_attn"][name] = patch
+    for k in tracked.reads:
+        r.used.add(pre + k)
     return params, None
 
 
@@ -460,7 +483,11 @@ def _head_patches(r: ImportReport, method: str, config: dict,
     mcfg = dict(config.get("model", {}) or {})
 
     if method in ("concepthash", "concepthash_filip"):
-        num_heads = int(mcfg.get("num_heads", 8))
+        # the head count lives under upt_config (reference coop.py UPTBlock;
+        # methods.py:117 reads upt_config.num_heads) — a bare num_heads key
+        # never exists in the rebuild's config
+        upt = dict(mcfg.get("upt_config", {}) or {})
+        num_heads = int(upt.get("num_heads", mcfg.get("num_heads", 8)))
         params["hash_queries"] = _take2(
             r, "trainable_params.hash_queries", "hash_queries")
         ha = {

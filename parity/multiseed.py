@@ -140,7 +140,12 @@ def main():
             "gap_mean": gap, "gap_se": se,
             "verdict": ("match_within_spread" if within
                         else ("rebuild_ahead" if gap > 0 else "rebuild_behind")),
-            "stamp": stamp,
+            # per-method stamp: SINGLE_EPOCH methods run 1 epoch regardless
+            # of --epochs (the reference ITQ criterion asserts on a second
+            # fit) — recording args.epochs for them would misdescribe the
+            # protocol anyone reproduces from this file
+            "stamp": {**stamp,
+                      "epochs": 1 if m in SINGLE_EPOCH else args.epochs},
         }
         print(json.dumps({m: results[m]}, indent=2), flush=True)
         with open(out_path, "w") as f:   # checkpoint after every method

@@ -52,6 +52,12 @@ def main(argv=None):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    # the container's sitecustomize imports jax at interpreter start, so the
+    # env var alone is ignored — force the backend explicitly or the template
+    # init runs on the TPU relay (2-5 min remote compile, collides with any
+    # concurrent TPU process). Same pattern as parity/run_rebuild.py:41-44.
+    jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
     from concepthash_tpu.config import load_config
     from concepthash_tpu.config.loader import save_config
@@ -67,8 +73,29 @@ def main(argv=None):
                       list(args.overrides) + [f"logdir={workdir}"])
     method = get_method(cfg["model"]["name"])
     os.makedirs(os.path.join(workdir, "models"), exist_ok=True)
-    codebook = (prepare_codebook(method, cfg, workdir)
-                if method.codebook else None)
+    codebook = None
+    if method.codebook:
+        try:
+            codebook = prepare_codebook(method, cfg, workdir)
+        except Exception as e:
+            # mirror RetrievalExperiment._build_method: offline environments
+            # (no network/HF cache, or no local dataset manifest) get the
+            # deterministic fallback — harmless here since the checkpoint's
+            # trained center overwrites the codebook-derived constant anyway.
+            logging.warning("codebook stage failed (%s); offline fallback", e)
+            from concepthash_tpu.experiments.hashing import (
+                offline_text_embedder,
+            )
+            from concepthash_tpu.models.backbone_factory import (
+                vision_config_from_backbone_cfg,
+            )
+
+            dim = int(cfg["model"].get("center_dim", 0) or
+                      vision_config_from_backbone_cfg(
+                          cfg.get("backbone", {}) or {}).projection_dim)
+            codebook = prepare_codebook(
+                method, cfg, workdir,
+                text_embedder=lambda n: offline_text_embedder(n, dim=dim))
     model = method.build_model(cfg, codebook)
 
     crop = int((cfg.get("dataset") or {}).get("crop", 224))
@@ -92,6 +119,9 @@ def main(argv=None):
             "epoch": 0}
     out_ckpt = os.path.join(workdir, "models", "best.msgpack")
     io.fast_save(blob, out_ckpt)
+    # fast_save is async whenever a prior in-process experiment initialized
+    # the save queue — fence so the file exists when we return
+    io.join_save_queue()
     save_config(cfg, os.path.join(workdir, "config.yaml"))
     print(f"wrote {out_ckpt} ({len(report.written)} leaves imported, "
           f"{len(report.unused)} reference keys unmapped); evaluate with: "
