@@ -143,6 +143,15 @@ def test_resnet_frozen_bn_matches_reference_quirk():
     stem = np.asarray(mut2["batch_stats"]["stem_bn"]["mean"])
     assert np.abs(stem).max() > 1e-4
 
+    # config plumbing: the backbone-group yaml flag reaches ResNetConfig
+    from concepthash_tpu.models.trunk import trunk_from_config
+
+    t18 = trunk_from_config({"family": "resnet", "depth": 18,
+                             "frozen_bn": True})
+    assert t18.resnet_cfg.frozen_bn and t18.resnet_cfg.depth == 18
+    t50 = trunk_from_config({"family": "resnet", "depth": 50})
+    assert not t50.resnet_cfg.frozen_bn
+
 
 def _classifier_features(m, x, n=6):
     import torch
