@@ -142,7 +142,12 @@ def _build_baseline(head, config, codebook, **kw):
                           head=head, add_bn=bool(m.get("add_bn", True)),
                           ce_cossim=m.get("m_type", "ce") != "ce",
                           latent_dim=int(m.get("latent_dim", 128)),
-                          bcs=bool(m.get("bcs", False)))
+                          bcs=bool(m.get("bcs", False)),
+                          # opt-in biased hash layer: the reference's ADSH
+                          # head is Linear(bias)+Tanh (arch/adsh.py:14-17);
+                          # pass model.hash_bias=true when importing its
+                          # checkpoints (utils/torch_import.py)
+                          hash_bias=bool(m.get("hash_bias", False)))
     cb = jnp.asarray(codebook) if codebook is not None else None
     return BaselineHashNet(vcfg, bcfg, adapters=acfg, codebook=cb,
                            backbone_cfg=config.get("backbone"),

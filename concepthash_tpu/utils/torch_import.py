@@ -23,10 +23,18 @@ Scope (the reference zoo's deep families):
   (``backbone.features/fc.*``) — models/cnn_loader.py; the flax trunks are
   torchvision-geometry-exact so weights map element-for-element.
 - Heads: the flat Linear zoo (csq/dpn/pairwise: hash_fc; ce/greedyhash:
-  hash_fc + ce_fc; orthohash: hash_fc Sequential + BatchNorm + CosSim) and
-  the flagship ConceptHash head (hash_queries/hash_attention/hash_fc/
+  hash_fc + ce_fc; orthohash: hash_fc Sequential + BatchNorm + CosSim;
+  adsh: Sequential(Linear(bias), Tanh) — pass model.hash_bias=true, the
+  rebuild applies tanh in the loss so model outputs compare through tanh)
+  and the flagship ConceptHash head (hash_queries/hash_attention/hash_fc/
   hash_bn/concept_ce/text_projection/center, reference
   models/arch/coop.py:204-427).
+
+NOT importable (reported as unused keys, never silently dropped): the
+fine-grained SEMICON / A²-Net heads — models/finegrained.py is an
+architectural redesign (static-shape SEM erasure, tied part encoder), not
+a module-for-module port, so there is no element-wise weight mapping;
+retrain those (their trained-parity rows are in parity/RESULTS_*.json).
 
 Everything is numpy in/out; no torch import needed beyond reading the file.
 """
@@ -536,9 +544,15 @@ def _head_patches(r: ImportReport, method: str, config: dict,
         return params, stats, consts
 
     # --- flat-head zoo (BaselineHashNet) ---
-    if "hash_fc.0.weight" in r.sd:  # orthohash-style Sequential(Linear, BN)
-        params["hash_fc"] = _dense(r, "hash_fc.0", bias=False)
-        params["hash_bn"], stats["hash_bn"] = _bn_patch(r, "hash_fc.1")
+    if "hash_fc.0.weight" in r.sd:
+        if "hash_fc.1.weight" in r.sd:
+            # orthohash-style Sequential(Linear(no bias), BatchNorm)
+            params["hash_fc"] = _dense(r, "hash_fc.0", bias=False)
+            params["hash_bn"], stats["hash_bn"] = _bn_patch(r, "hash_fc.1")
+        else:
+            # adsh-style Sequential(Linear, Tanh) — the activation has no
+            # weights (reference models/arch/adsh.py:14-17)
+            params["hash_fc"] = _dense(r, "hash_fc.0")
     elif "hash_fc.weight" in r.sd:
         params["hash_fc"] = _dense(r, "hash_fc")
 

@@ -161,6 +161,21 @@ def test_orthohash_import(tmp_path):
                                atol=2e-5)
 
 
+def test_adsh_import(tmp_path):
+    """adsh head: Sequential(Linear(bias), Tanh) — no BatchNorm at index 1
+    (reference models/arch/adsh.py:14-17), so the flat-head zoo must take
+    the plain-Linear branch and map the bias (model.hash_bias=true). The
+    rebuild applies tanh in the loss, not the model, so the model outputs
+    compare through tanh (sign-identical either way)."""
+    npz, sd_path = _dump(tmp_path, "adsh", save_sd=True)
+    ov = _overrides("adsh", str(tmp_path)) + ["model.hash_bias=true"]
+    cfg, model, tpl = _build(ov, str(tmp_path))
+    out, _ = _import_and_apply(npz, sd_path, "adsh", cfg, model, tpl)
+    codes = np.asarray(out["codes"])
+    np.testing.assert_allclose(np.tanh(codes), npz["codes"], atol=2e-5)
+    assert (np.sign(codes) == np.sign(npz["codes"])).all()
+
+
 @pytest.mark.parametrize("depth", [18, 50])
 def test_resnet_import(tmp_path, depth):
     """CNN tower path: the reference's dpsh over torchvision ResNet
