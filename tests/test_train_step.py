@@ -109,6 +109,42 @@ def test_batchnorm_stats_are_global(rng):
         rtol=1e-4, atol=1e-5)
 
 
+def test_cnn_batchnorm_stats_are_global(rng):
+    """Same global-stats invariant for the CNN tower's 4D conv BatchNorm
+    (models/resnet.py — the family imported from torchvision checkpoints):
+    under the 8-device mesh the updated running stats must equal the
+    single-device global-batch stats at every depth of the tower."""
+    from concepthash_tpu.models.resnet import ResNet, ResNetConfig
+
+    model = ResNet(ResNetConfig(18))
+
+    def loss_fn(outputs, batch):
+        return jnp.mean(outputs["features"] ** 2), {}
+
+    sample = jnp.zeros((8, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    tx = build_optimizer({"name": "sgd", "lr": 0.01}, None, 2, 2,
+                         variables["params"], 1.0)
+    state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
+    batch = {"image": rng.standard_normal((8, 16, 16, 3)).astype(np.float32),
+             "label": np.eye(4, dtype=np.float32)[rng.integers(0, 4, 8)],
+             "index": np.arange(8, dtype=np.int32)}
+
+    step1 = make_train_step(model, loss_fn, tx, mesh=None, donate=False)
+    state_1, _ = step1(state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_mesh()
+    step_m = make_train_step(model, loss_fn, tx, mesh=mesh)
+    state_m, _ = step_m(replicate(state, mesh), shard_batch(batch, mesh))
+
+    for key in ("stem_bn", "stage3_block1"):
+        a = jax.tree_util.tree_map(np.asarray, state_m.batch_stats[key])
+        b = jax.tree_util.tree_map(np.asarray, state_1.batch_stats[key])
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-4,
+                                                    atol=1e-5), a, b)
+
+
 def test_eval_step_and_padding(rng):
     mesh = make_mesh()
     model, loss_fn, state, _ = build(mesh)
