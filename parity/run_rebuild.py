@@ -29,7 +29,8 @@ def main():
                     choices=["ce", "orthohash", "csq", "concepthash",
                              "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
-                             "adsh", "semicon", "itq", "pca", "dpsh_r18"])
+                             "adsh", "semicon", "itq", "pca",
+                             "dpsh_r18", "ce_r18"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
@@ -58,7 +59,8 @@ def main():
                    "concepthash_sa": "concepthash_sa",
                    "adsh": "adsh", "semicon": "semicon",
                    "itq": "itq", "pca": "pca",
-                   "dpsh_r18": "dpsh_adapter"}[args.method]
+                   "dpsh_r18": "dpsh_adapter",
+                   "ce_r18": "ce_adapter"}[args.method]
 
     if args.method.endswith("_r18"):
         # CNN-backbone row: random-init trainable ResNet18 on both sides
