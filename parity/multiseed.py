@@ -36,7 +36,7 @@ sys.path.insert(0, HERE)
 import proto  # noqa: E402
 METHODS = ["ce", "orthohash", "csq", "concepthash", "dpn", "hashnet",
            "dpsh", "dtsh", "greedyhash", "a2net_ce", "semicon_ce",
-           "concepthash_sa", "adsh", "itq", "pca", "dpsh_r18", "ce_r18"]
+           "concepthash_sa", "adsh", "itq", "pca", "dpsh_r18", "ce_r18", "orthohash_r18"]
 
 # shallow fits are one-pass: the reference ITQ criterion asserts if
 # train_one_epoch runs a second time (models/loss/itq.py:34)

@@ -30,7 +30,7 @@ def main():
                              "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
                              "adsh", "semicon", "itq", "pca",
-                             "dpsh_r18", "ce_r18"])
+                             "dpsh_r18", "ce_r18", "orthohash_r18"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
@@ -48,6 +48,9 @@ def main():
     clip_dir = os.path.join(assets, "tiny-clip")
     logdir = args.logdir or os.path.join(HERE, "runs", f"rebuild_{args.method}")
 
+    # "<method>_r18" = the same method block over a random-init trainable
+    # ResNet18 (CNN-family trained row); overrides key on the base name.
+    base = args.method[:-4] if args.method.endswith("_r18") else args.method
     model_group = {"ce": "ce_adapter", "orthohash": "orthohash_adapter",
                    "csq": "csq_adapter", "concepthash": "concepthash",
                    "dpn": "dpn_adapter", "hashnet": "hashnet_adapter",
@@ -58,9 +61,7 @@ def main():
                    "semicon_ce": "semicon_ce_adapter",
                    "concepthash_sa": "concepthash_sa",
                    "adsh": "adsh", "semicon": "semicon",
-                   "itq": "itq", "pca": "pca",
-                   "dpsh_r18": "dpsh_adapter",
-                   "ce_r18": "ce_adapter"}[args.method]
+                   "itq": "itq", "pca": "pca"}[base]
 
     if args.method.endswith("_r18"):
         # CNN-backbone row: random-init trainable ResNet18 on both sides
@@ -85,8 +86,8 @@ def main():
         "model.adapter_bottleneck_dim=8",
         f"data_dir={assets}", f"logdir={logdir}",
     ]
-    if args.method in ("concepthash", "concepthash_sa"):
-        if args.method == "concepthash_sa":
+    if base in ("concepthash", "concepthash_sa"):
+        if base == "concepthash_sa":
             overrides += ["model.self_attn_at_last.mask_sigma=0"]
         overrides += [
             "model.text_projection_dims=[32]",
@@ -94,26 +95,26 @@ def main():
             f"model.fixed_center.path={assets}/center.npy",
             "model.fixed_center.quantized=false",
         ]
-    elif args.method == "orthohash":
+    elif base == "orthohash":
         overrides += [
             "model.codebook.codebook_method=file",
             f"model.codebook.path={assets}/codebook_N.npy",
         ]
-    elif args.method == "csq":
+    elif base == "csq":
         overrides += [
             "criterion.codebook.codebook_method=file",
             f"criterion.codebook.path={assets}/codebook_H.npy",
         ]
-    elif args.method == "dpn":
+    elif base == "dpn":
         overrides += [
             "criterion.codebook.codebook_method=file",
             f"criterion.codebook.path={assets}/codebook_B.npy",
         ]
-    elif args.method in ("adsh", "semicon"):
+    elif base in ("adsh", "semicon"):
         # match run_reference's adsh-regime method_params
         overrides += [f"criterion.num_samples={_P['adsh_num_samples']}",
                       "criterion.max_iters=3"]
-    elif args.method == "itq":
+    elif base == "itq":
         # match the reference ITQLoss defaults (max_iters=3) and tie the
         # rotation init to the run seed like upstream's global torch seed
         overrides += ["criterion.iters=3", f"criterion.seed={args.seed}"]

@@ -370,7 +370,7 @@ def main():
                              "dpn", "hashnet", "dpsh", "dtsh", "greedyhash",
                              "a2net_ce", "semicon_ce", "concepthash_sa",
                              "adsh", "semicon", "itq", "pca",
-                             "dpsh_r18", "ce_r18"])
+                             "dpsh_r18", "ce_r18", "orthohash_r18"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--assets",
