@@ -1054,15 +1054,27 @@ def _restore_partial(template, data, _stats=None):
 def _restore_like(template, data):
     """Restore a msgpack dict onto a pytree template (keeps dtypes/shapes).
     Missing subtrees/keys in ``data`` keep the template's current values
-    (the documented lenient default — blob.get(..., {}) call sites)."""
+    (the documented lenient default — blob.get(..., {}) call sites).
+
+    Shape mismatches RAISE: strict resume (unlike finetune's
+    ``_restore_partial``) must never reshape a same-numel-but-transposed
+    leaf into scrambled weights, and silently keeping a fresh init would be
+    just as wrong on the resume path (reference resume loads the exact
+    state back, experiments/train_helper.py:155-187)."""
     if isinstance(template, dict):
         if not isinstance(data, dict):
             return template
         return {k: _restore_like(template[k], data.get(k)) for k in template}
     if hasattr(template, "shape") and data is not None:
         arr = np.asarray(data)
-        return jnp.asarray(arr.reshape(np.shape(template)),
-                           dtype=jnp.asarray(template).dtype)
+        want = tuple(np.shape(template))
+        if arr.shape != want:
+            raise ValueError(
+                f"strict resume: checkpoint leaf shape {arr.shape} does not "
+                f"match the model's {want}. The architecture changed since "
+                "this checkpoint was written — use finetune_path (lenient "
+                "restore) instead of resume for architecture changes.")
+        return jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
     if isinstance(template, (tuple, list)) or hasattr(template, "_fields"):
         seq = list(data.values()) if isinstance(data, dict) else list(data)
         rebuilt = [_restore_like(t, d) for t, d in zip(template, seq)]

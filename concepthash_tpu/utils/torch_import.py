@@ -53,11 +53,26 @@ log = logging.getLogger(__name__)
 # loading / generic tree utilities
 # ---------------------------------------------------------------------------
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a reference ``.pth`` model checkpoint into {flat_key: ndarray}."""
+def load_state_dict(path: str, *, unsafe: bool = False) -> Dict[str, np.ndarray]:
+    """Read a reference ``.pth`` model checkpoint into {flat_key: ndarray}.
+
+    Loads with ``weights_only=True``: reference checkpoints are plain tensor
+    state_dicts (reference trainers/base.py:190-193), which never need the
+    full unpickler — and a ``.pth`` from an untrusted source can otherwise
+    execute arbitrary code on load. ``unsafe=True`` (CLI ``--unsafe``)
+    retries with the full unpickler for legacy/nonstandard blobs; only use
+    it on checkpoints you trust."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not unsafe:
+            raise RuntimeError(
+                f"{path} is not loadable as a plain tensor state_dict "
+                f"({e}). If you trust its origin, re-run with --unsafe to "
+                "allow full (arbitrary-code) unpickling.") from e
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "state_dict" in blob:
         blob = blob["state_dict"]
     out = {}
@@ -77,6 +92,10 @@ class ImportReport:
         self.sd = sd
         self.used: set = set()
         self.written: list = []
+        # template paths an importer EXPECTED to fill but the checkpoint had
+        # no value for (e.g. a _take2 miss) — these leaves stay at template
+        # init, which is a silently wrong model unless surfaced
+        self.missing: list = []
 
     def take(self, key: str) -> Optional[np.ndarray]:
         if key in self.sd:
@@ -575,6 +594,15 @@ def _head_patches(r: ImportReport, method: str, config: dict,
 def _graft(dst: dict, patch: dict, path=(), report=None):
     for k, v in patch.items():
         if v is None:
+            # an expected patch entry resolved to nothing (e.g. a _take2
+            # miss): the template leaf keeps its random init — loudly, and
+            # recorded in report.missing, so a checkpoint missing a required
+            # head never imports as a silently wrong model
+            where = "/".join(path + (k,))
+            log.warning("checkpoint provided no value for expected leaf %s; "
+                        "template init retained", where)
+            if report is not None:
+                report.missing.append(where)
             continue
         if isinstance(v, dict):
             if k not in dst or not isinstance(dst[k], dict):

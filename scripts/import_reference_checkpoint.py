@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--pth", required=True, help="reference models/*.pth")
     ap.add_argument("--outdir", required=True,
                     help="output run dir (gets config.yaml + models/best.msgpack)")
+    ap.add_argument("--unsafe", action="store_true",
+                    help="allow full-unpickler torch.load for legacy blobs "
+                         "that fail weights_only=True (arbitrary code "
+                         "execution risk — trusted checkpoints only)")
     ap.add_argument("overrides", nargs="*",
                     help="config overrides (main.py syntax)")
     args = ap.parse_args(argv)
@@ -107,11 +111,16 @@ def main(argv=None):
                            train=False)
     template = {k: variables[k] for k in variables}
 
-    sd = load_state_dict(args.pth)
+    sd = load_state_dict(args.pth, unsafe=args.unsafe)
     newvars, report = import_reference_state_dict(
         sd, cfg["model"]["name"], cfg, template)
     logging.info("mapped %d leaves; %d unused checkpoint keys",
                  len(report.written), len(report.unused))
+    if report.missing:
+        print("EXPECTED leaves the checkpoint had no value for (these stay "
+              "at random init — the imported model is likely WRONG):")
+        for k in report.missing:
+            print(" ", k)
 
     blob = {"params": newvars.get("params", {}),
             "batch_stats": newvars.get("batch_stats", {}),

@@ -107,3 +107,23 @@ def test_restore_partial_keeps_fresh_on_mismatch():
                                   np.zeros((4, 8)))
     np.testing.assert_array_equal(np.asarray(out["extra"]), np.zeros((2,)))
     assert n_ok == 1 and n_skip == 3
+
+
+def test_restore_like_raises_on_shape_mismatch():
+    """STRICT resume (hashing._restore_like): a same-numel transposed leaf —
+    the footprint of an architecture tweak between save and resume — must
+    raise, never blind-reshape into scrambled weights (VERDICT r4 weak-4)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from concepthash_tpu.experiments.hashing import _restore_like
+
+    template = {"head": {"w": jnp.zeros((4, 8))}}
+    good = {"head": {"w": np.ones((4, 8))}}
+    out = _restore_like(template, good)
+    np.testing.assert_array_equal(np.asarray(out["head"]["w"]),
+                                  np.ones((4, 8)))
+    bad = {"head": {"w": np.ones((8, 4))}}  # same numel, transposed
+    with pytest.raises(ValueError, match="strict resume"):
+        _restore_like(template, bad)
