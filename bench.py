@@ -513,42 +513,49 @@ def measure_recall_at_k(jnp, jax, n_db: int, n_q: int, nbit: int = 64,
     return hit / (len(d_exact) * topk)
 
 
-def probe_tpu_alive(timeout_s: float, attempts: int = 2,
-                    gap_s: float = 45.0) -> bool:
+def probe_tpu_alive(timeout_s: float, window_s: float = 0.0,
+                    gap_s: float = 60.0) -> bool:
     """Run a trivial device program in a KILLABLE subprocess. The relay hang
     mode (BENCH_r03, r4 rehearsal) blocks the calling thread inside a C RPC
     with no Python frames — un-interruptable by SIGALRM — so the only safe
     first contact is from a process we can kill from outside.
 
-    Retries once by default: the relay's slow mode is TRANSIENT (the r4
-    runbook saw a probe fail minutes after the same relay completed a 100M
-    workload, then answer again an hour later; a cold connect alone measured
-    64s). One extra attempt converts that flake into a TPU run instead of a
-    CPU-smoke record; a genuinely hung relay costs attempts*timeout_s +
-    gap_s, still bounded well under the budget. Attempts are SPACED by
-    ``gap_s`` — the relay oscillates on minute timescales (a direct probe
-    answered in <100s nine minutes before two back-to-back 150s probes both
-    timed out), so consecutive attempts tend to sample the same outage."""
+    Retries inside a WALL WINDOW (VERDICT r4 task 1): the relay's outages
+    are TRANSIENT and oscillate on minute timescales (the r4 runbook saw a
+    probe fail minutes after the same relay completed a 100M workload, then
+    answer again later; a cold connect alone measured 64s) — so two fixed
+    attempts 45s apart tend to sample the same outage twice, which is
+    exactly how BENCH_r04 degraded to a CPU smoke while a builder bench an
+    hour later was clean. Keep probing every ``gap_s`` until success or
+    until another full attempt (gap + timeout) no longer fits in
+    ``window_s`` (the call site passes ~40% of the bench budget). A
+    salvaged TPU record is worth far more than the tail stages the spent
+    window costs; a genuinely dead relay still leaves ~60% of the budget
+    for the CPU-smoke fallback. Always makes at least one attempt."""
     import subprocess
 
     code = ("import jax\n"
             "x = jax.numpy.ones((128, 128))\n"
             "print('BACKEND=' + jax.default_backend(), float((x @ x).sum()))\n")
-    for i in range(attempts):
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             p = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s,
                                capture_output=True, text=True)
             if p.returncode == 0 and "BACKEND=tpu" in p.stdout:
                 return True
-            print(f"tpu probe attempt {i + 1}/{attempts}: rc={p.returncode}",
-                  file=sys.stderr)
+            status = f"rc={p.returncode}"
         except Exception as e:
-            print(f"tpu probe attempt {i + 1}/{attempts}: {type(e).__name__}",
-                  file=sys.stderr)
-        if i + 1 < attempts and gap_s > 0:
-            time.sleep(gap_s)
-    return False
+            status = type(e).__name__
+        elapsed = time.perf_counter() - t0
+        print(f"tpu probe attempt {attempt} ({elapsed:.0f}s into "
+              f"{window_s:.0f}s window): {status}", file=sys.stderr)
+        if elapsed + gap_s + timeout_s > window_s:
+            return False
+        time.sleep(gap_s)
 
 
 def main():
@@ -567,8 +574,11 @@ def main():
     relay_down = not probe_tpu_alive(
         float(os.environ.get("BENCH_PROBE_TIMEOUT_S",
                              "60" if args.smoke else "150")),
+        window_s=float(os.environ.get(
+            "BENCH_PROBE_WINDOW_S",
+            str(130.0 if args.smoke else 0.4 * budget))),
         gap_s=float(os.environ.get("BENCH_PROBE_GAP_S",
-                                   "5" if args.smoke else "45")))
+                                   "5" if args.smoke else "60")))
 
     tiny = args.smoke or relay_down
     if tiny:
@@ -579,10 +589,18 @@ def main():
         batch = 1024
 
     result = {
-        "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery",
+        # headline (r05+): the RTT-immune device-loop qps — the whole
+        # workload (chunk loop + repeats) fused into ONE dispatch, so the
+        # number measures the chip, not the relay weather (the old
+        # dispatch-chunked headline deflated ~5x on a 37ms relay; VERDICT
+        # r4 weak-5/task-7). The dispatch-chunked measurement stays beside
+        # it as retrieval_qps_dispatch_chunked for cross-round continuity.
+        "metric": f"hamming64_retrieval_qps_{n_db // 1000}k_gallery_device_loop",
         "value": None,
         "unit": "queries/s",
         "vs_baseline": None,
+        "retrieval_qps_dispatch_chunked": None,
+        "vs_baseline_dispatch_chunked": None,
         "backend": None,
         "exact_topk_qps": None,
         # exact serving at 10M entries: Pallas fused mins kernel + packed
@@ -691,9 +709,15 @@ def main():
             result["skipped_stages"].append(f"{name}:FAILED")
             return False
 
-    # --- core r02-compatible fields first (headline + vs_baseline) ---
+    # --- headline first: device-loop qps (RTT-immune), then companions ---
+    def _retrieval_device():
+        qps = round(bench_retrieval_device_loop(jnp, jax, n_db, n_q), 1)
+        result["retrieval_qps_device_loop"] = qps
+        result["value"] = qps
+
     def _retrieval():
-        result["value"] = round(bench_retrieval(jnp, jax, n_db, n_q), 1)
+        result["retrieval_qps_dispatch_chunked"] = round(
+            bench_retrieval(jnp, jax, n_db, n_q), 1)
 
     def _cpu():
         # Single-core host NumPy baseline (this box has 1 CPU core), on a
@@ -703,6 +727,9 @@ def main():
         result["cpu_numpy_qps_1core"] = round(cpu_qps, 1)
         if result["value"]:
             result["vs_baseline"] = round(result["value"] / cpu_qps, 2)
+        if result["retrieval_qps_dispatch_chunked"]:
+            result["vs_baseline_dispatch_chunked"] = round(
+                result["retrieval_qps_dispatch_chunked"] / cpu_qps, 2)
 
     def _exact():
         result["exact_topk_qps"] = round(
@@ -712,13 +739,10 @@ def main():
         result["relay_rtt_ms"] = round(bench_relay_rtt(jnp, jax), 2)
 
     stage("relay_rtt", 15, _rtt)
-    stage("retrieval", 120, _retrieval)
+    stage("retrieval_device_loop", 120, _retrieval_device)
+    stage("retrieval_dispatch_chunked", 120, _retrieval)
     stage("cpu_baseline", 90, _cpu)
     emit()  # headline is now on stdout whatever happens later
-
-    def _retrieval_device():
-        result["retrieval_qps_device_loop"] = round(
-            bench_retrieval_device_loop(jnp, jax, n_db, n_q), 1)
 
     stage("exact_topk", 120, _exact)
 
@@ -732,7 +756,6 @@ def main():
         stage("serving_exact_10m_packed", 90, _serving_10m)
     else:  # account for the unmeasured field instead of a silent null
         result["skipped_stages"].append("serving_exact_10m_packed:NA")
-    stage("retrieval_device_loop", 90, _retrieval_device)
     emit()
 
     def _encode():
