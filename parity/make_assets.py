@@ -83,11 +83,22 @@ def main():
     cb_n[cb_n == 0] = 1.0
     np.save(os.path.join(out, "codebook_N.npy"), cb_n)
 
-    # Hadamard rows (CSQ recipe) — deterministic, shared verbatim
+    # Hadamard rows (CSQ recipe) — deterministic, shared verbatim. Beyond
+    # nbit rows the reference stacks -H, and beyond 2*nbit it fills with
+    # balanced random +-1 rows (half the bits flipped; reference
+    # trainers/orthohash.py get_hadamard "copy from CSQ") — seeded here so
+    # both sides train against the identical matrix (the large proto's 200
+    # classes exhaust the 128-row [H; -H] stack at nbit 64).
     from scipy.linalg import hadamard
 
     h = hadamard(NBIT).astype(np.float32)
-    np.save(os.path.join(out, "codebook_H.npy"), h[:NCLASS])
+    h2 = np.concatenate([h, -h], 0)
+    if NCLASS > len(h2):
+        extra = np.ones((NCLASS - len(h2), NBIT), np.float32)
+        for i in range(len(extra)):
+            extra[i, rng.choice(NBIT, NBIT // 2, replace=False)] = -1.0
+        h2 = np.concatenate([h2, extra], 0)
+    np.save(os.path.join(out, "codebook_H.npy"), h2[:NCLASS])
 
     # Bernoulli +-1 codebook (DPN's 'B' recipe, ref orthohash.py:68-70)
     cb_b = (rng.random((NCLASS, NBIT)) < 0.5).astype(np.float32) * 2 - 1

@@ -13,6 +13,15 @@ subtle quality regressions that need more classes/bits to show):
   protocol hides inside ties become visible. The backbone stays the tiny
   CLIP tower: scale lives in the DATA/CODE SPACE, which is what drives
   hashing-loss geometry; a bigger tower would only multiply CPU cost.
+- ``large``  — the flagship's CANONICAL geometry (VERDICT r4 task 2 /
+  weak-3): 200 classes / nbit 64 / ncontext 4 -> 16-bit sub-codes and
+  batch 32, matching the reference's headline run
+  (/root/reference/configs/model/concept_hash_final_v1_nosa_apt.yaml) so
+  class-count-dependent machinery (BN over 200-way logits, concept CE,
+  the 200-row codebooks, Hadamard exhaustion at nclass > 2*nbit) is
+  exercised offline at real scale. 10 train / 3 test images per class
+  (2,000 train / 600 query / 2,000 db) keeps a 30-epoch run tractable on
+  the 1-core box; the tower stays tiny for the same reason as medium.
 
 Selected via the PARITY_PROTO env var (child runs inherit it) or the
 --proto flag on multiseed.py.
@@ -40,6 +49,15 @@ PROTOS = {
         assets_dirname="assets_medium",
         runs_subdir="ms_medium",
         results_filename="RESULTS_MULTISEED_MEDIUM.json",
+    ),
+    "large": dict(
+        nclass=200, nbit=64, proj_dim=32,
+        per_class_train=10, per_class_test=3, image_size=64,
+        resize=64, crop=48, batch_size=32,
+        adsh_num_samples=400,
+        assets_dirname="assets_large",
+        runs_subdir="ms_large",
+        results_filename="RESULTS_MULTISEED_LARGE.json",
     ),
 }
 
