@@ -14,6 +14,7 @@ import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from concepthash_tpu.models.clip import AdapterConfig, ClipVisionConfig
@@ -95,8 +96,26 @@ class BaselineHashNet(nn.Module):
 
         use_bias = c.hash_bias or head in ("pairwise", "ce", "greedyhash",
                                            "unsup_greedyhash")
-        codes = nn.Dense(c.nbit, use_bias=use_bias, dtype=self.dtype,
-                         name="hash_fc")(feat)
+        if head == "pairwise":
+            # torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) ->
+            # U(+-1/sqrt(fan_in)) for kernel AND bias; reference
+            # models/arch/pairwise.py hash_fc). The pairwise family is the
+            # one place init SCALE is load-bearing: HashNet trains
+            # tanh(beta*u) whose gradient dies as |u| grows, and flax's
+            # default lecun_normal is ~1.73x wider (std 1/sqrt(fan_in) vs
+            # torch's 0.58/sqrt(fan_in)) — measured -0.027 mAP systematic
+            # at the medium parity protocol (8 seeds), gone under this init.
+            bound = 1.0 / (feat.shape[-1] ** 0.5)
+            codes = nn.Dense(
+                c.nbit, use_bias=use_bias, dtype=self.dtype,
+                kernel_init=nn.initializers.variance_scaling(
+                    1 / 3, "fan_in", "uniform"),
+                bias_init=lambda key, shape, dtype=jnp.float32:
+                    jax.random.uniform(key, shape, dtype, -bound, bound),
+                name="hash_fc")(feat)
+        else:
+            codes = nn.Dense(c.nbit, use_bias=use_bias, dtype=self.dtype,
+                             name="hash_fc")(feat)
         if c.add_bn and head in ("orthohash",):
             codes = CodeBatchNorm(axis_name=self.bn_axis_name,
                                   dtype=self.dtype, name="hash_bn")(codes, train)
