@@ -190,6 +190,42 @@ def bench_serving_exact_packed(jnp, jax, n_db: int, n_q: int,
     return n_q * iters / (time.perf_counter() - t0)
 
 
+def bench_serving_exact_bitplane(jnp, jax, n_db: int, n_q: int,
+                                 nbit: int = 64, topk: int = 100) -> float:
+    """EXACT top-k on a BIT-PLANE gallery (1 bit/bit, 8 bytes/code at
+    nbit=64 — ops/topk_select.exact_topk_bitplane): the layout that fits
+    1e9 codes beside its mins array on one chip. Generated born bit-plane
+    (random bytes are random sign bits)."""
+    from concepthash_tpu.ops.topk_select import exact_topk_bitplane
+
+    G = n_db * nbit // 128 // 8
+    nblocks = max(1, -(-G // 2_000_000))
+    while G % nblocks:                    # block count must divide G
+        nblocks += 1
+
+    @jax.jit
+    def gen(keys):
+        return jax.lax.map(
+            lambda k: jax.random.bits(k, (G // nblocks, 128),
+                                      dtype=jnp.uint8),
+            keys).reshape(G, 128)
+
+    bp = gen(jax.random.split(jax.random.PRNGKey(0), nblocks))
+    bp.block_until_ready()
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
+    fn = jax.jit(lambda q, bp: exact_topk_bitplane(
+        q, bp, k=topk, subblock=512))   # auto cap scales with subblock
+    d, i, v = fn(q, bp)
+    np.asarray(jax.device_get(i[:1, :1]))
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        d, i, v = fn(q, bp)
+    np.asarray(jax.device_get(i[:1, :1]))
+    return n_q * iters / (time.perf_counter() - t0)
+
+
 def bench_retrieval_cpu(n_db: int, n_q: int, nbit: int = 64, topk: int = 100):
     """Host NumPy baseline: vectorized popcount via 16-bit lookup."""
     rng = np.random.default_rng(0)
@@ -606,6 +642,10 @@ def main():
         # exact serving at 10M entries: Pallas fused mins kernel + packed
         # gallery (ops/topk_select.py; 100M point in PARITY.md)
         "serving_exact_10m_qps_packed": None,
+        # exact serving on the 8-bytes/code bit-plane layout at 100M —
+        # the 1e9-capacity format (exact_topk_bitplane; 1e9 point in
+        # PARITY.md via scripts/bench_serving_1g.py)
+        "serving_exact_100m_qps_bitplane": None,
         "cpu_numpy_qps_1core": None,
         "encode_img_per_s": None,
         "encode_batch": batch,
@@ -750,12 +790,19 @@ def main():
         result["serving_exact_10m_qps_packed"] = round(
             bench_serving_exact_packed(jnp, jax, 10_000_000, 256), 1)
 
+    def _serving_100m_bitplane():
+        result["serving_exact_100m_qps_bitplane"] = round(
+            bench_serving_exact_bitplane(jnp, jax, 100_000_000, 256), 1)
+
     # est 90: measured 10.6-12.6s across the r4 rehearsals (compile cache
     # warm); generous headroom for a cold compile.
     if backend == "tpu" and not tiny:
         stage("serving_exact_10m_packed", 90, _serving_10m)
-    else:  # account for the unmeasured field instead of a silent null
+        # bit-plane layout (8 B/code): est covers a cold kernel compile
+        stage("serving_exact_100m_bitplane", 240, _serving_100m_bitplane)
+    else:  # account for the unmeasured fields instead of silent nulls
         result["skipped_stages"].append("serving_exact_10m_packed:NA")
+        result["skipped_stages"].append("serving_exact_100m_bitplane:NA")
     emit()
 
     def _encode():

@@ -695,3 +695,359 @@ def exact_topk_minspass(q_signs, db_i8, k: int, subblock: int = 64,
     return jax.lax.cond(
         v1, lambda _: (d1, i1, v1),
         lambda _: _select_rescore(cap_retry), None)
+
+
+# ---------------------------------------------------------------------------
+# bit-plane serving layout: 1 bit/bit (8 bytes/code at nbit=64) — the 1e9-
+# codes-on-one-chip format. The int8 sign layout costs nbit bytes/code
+# (64 GB at 1e9x64, 4x any single chip here); this one is 8 GB. No
+# reference counterpart (the reference scores with full torch matmuls).
+# ---------------------------------------------------------------------------
+
+
+def pack_bitplane_serving(db, nbit: int | None = None):
+    """Sign gallery -> bit-plane serving form: ((Gp, 128) uint8, n_pad).
+
+    Accepts (N, nbit) ±1 signs or the 128-lane packed int8 form from
+    ``pack_serving_gallery``. Bit j of ``bp[g, l]`` is the sign bit
+    (``> 0``, the pack_bits convention) of packed row ``8*g + j`` at lane
+    ``l`` — i.e. bits are packed along the SUBLANE axis in groups of 8
+    packed rows, NOT along the code's bit axis like ``pack_bits_serving``.
+    Why this orientation: the mins kernel unpacks a byte tile with 8
+    shift/and passes whose outputs are full 128-lane int8 tiles feeding the
+    MXU directly; a code-major word pack would need a cross-lane scatter of
+    each word's 32 bits, which Mosaic lowers as an expensive relayout.
+
+    ``n_pad`` counts codes in the stored form: N rounded up to P codes per
+    packed row and then to 8 packed rows per byte. A bit-plane has no
+    zero state, so BOTH pad kinds store as ALL-NEGATIVE codes (bits 0x00)
+    — unlike the int8 layout's zero codes at nbit/2, these are
+    real-looking. Whole pad packed ROWS are masked to nbit+1 by the mins
+    kernel via ``n_rows``; pad SLOTS sharing the last partial row cannot
+    be, so serving calls MUST pass ``n_valid`` (the rescore masks them to
+    +inf before any distance is consumed — same contract as minspass).
+    """
+    db = jnp.asarray(db)
+    if db.shape[1] == 128 and (nbit is None or nbit != 128):
+        if nbit is None:
+            raise ValueError(
+                "a 128-lane input is ambiguous (plain nbit=128 vs the "
+                "packed layout of any nbit dividing 128) — pass nbit")
+        packed, n_pad = db.astype(jnp.int8), db.shape[0] * (128 // nbit)
+    else:
+        if nbit is None:
+            nbit = db.shape[1]
+        assert db.shape[1] == nbit
+        packed, n_pad = pack_serving_gallery(db)
+    P = 128 // nbit
+    rows = packed.shape[0]
+    pad_r = (-rows) % 8
+    bits = (packed > 0).astype(jnp.uint8)
+    if pad_r:
+        bits = jnp.concatenate([bits, jnp.zeros((pad_r, 128), jnp.uint8)])
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bp = (bits.reshape(-1, 8, 128) << shifts[None, :, None]).sum(
+        axis=1, dtype=jnp.uint8)
+    return bp, n_pad + pad_r * P
+
+
+def unpack_bitplane(bp):
+    """(G, 128) uint8 bit-planes -> (G*8, 128) int8 ±1 packed rows (the
+    pack_serving_gallery layout). Test/dense-path helper; at serving scale
+    the kernel unpacks per-tile in VMEM instead."""
+    bp = jnp.asarray(bp)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    u = ((bp[:, None, :] >> shifts[None, :, None]) & 1).astype(jnp.int8)
+    return (u * 2 - 1).reshape(-1, 128)
+
+
+def _mins_kernel_bitplane(qc_ref, bp_ref, o_ref, *, nbit: int, P: int,
+                          subblock: int, block_g: int, n_rows2: int, Q: int,
+                          chunk_g: int, out_dtype):
+    """Bit-plane variant of ``_mins_kernel_packed``: each uint8 db row packs
+    8 packed rows along the sublane axis; the kernel unpacks plane j with a
+    shift/and (pure VPU, ~1/3 the elements of the matmul's output tile) and
+    runs the same int8 MXU dot per plane, max-combining planes in
+    registers. Packed rows 8g..8g+7 share byte row g, so with
+    ``subblock % (8*P) == 0`` every plane of a byte group lands in the same
+    subblock and the group-max over planes/byte-rows/lane-slots is exactly
+    the packed kernel's subblock min — row order inside a subblock never
+    matters for a min."""
+    i = pl.program_id(0)
+    spp = subblock // P                    # packed rows per subblock
+    gps = spp // 8                         # byte (bit-plane) rows per subblock
+
+    def compute(mask: bool):
+        # ±1 sims from {0,1} planes via the affine identity
+        # <2b-1, q> = 2<b, q> - sum(q): int8 MULTIPLY doesn't legalize in
+        # Mosaic (arith.muli on vector<i8>), so the unpack stays {0,1} and
+        # the x2 - qsum correction runs on int32. The affine commutes with
+        # every max (2x - qs is increasing in x; qs is constant down each
+        # column and equal across the P lane groups of a query), so the
+        # fast path applies it ONCE on the tiny group-reduced tile; only
+        # the last grid step's mask branch pays it per plane (the pad
+        # value must land at exactly nbit+1 pre-reduction).
+        qs = jnp.sum(qc_ref[...].astype(jnp.int32), axis=1)   # (P*Q,)
+        nblk = chunk_g // gps
+        for c in range(block_g // chunk_g):            # static inner loop
+            # promote bytes to i32 once per chunk: Mosaic legalizes vector
+            # shifts on i32 but not on i8 (arith.shrui on vector<i8> failed
+            # to legalize), so the plane extraction runs at 32 bits and
+            # truncates back to i8 for the MXU
+            tile = bp_ref[c * chunk_g:(c + 1) * chunk_g, :].astype(jnp.int32)
+            acc = None                                 # (nblk, P*Q), small
+            for j in range(8):                         # static plane loop
+                u01 = ((tile >> j) & 1).astype(jnp.int8)
+                sim = jax.lax.dot_general(
+                    u01, qc_ref[...],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (chunk_g, P*Q)
+                if mask:
+                    sim = 2 * sim - qs[None, :]
+                    # packed-row id of plane j of byte row r is 8*r + j
+                    r = (jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+                         + i * block_g + c * chunk_g) * 8 + j
+                    sim = jnp.where(r < n_rows2, sim, -(nbit + 2))
+                # group-reduce BEFORE combining planes: keeping a full
+                # (chunk_g, P*Q) accumulator live across the plane loop
+                # doubles the working set past the sim-tile budget and
+                # measured 5.6x off the int8 kernel (r5 probe, 1e8)
+                g = sim.reshape(nblk, gps, sim.shape[1]).max(axis=1)
+                acc = g if acc is None else jnp.maximum(acc, g)
+            if not mask:
+                acc = 2 * acc - qs[None, :]
+            mm = acc[:, 0:Q]
+            for p in range(1, P):                      # static lane-group max
+                mm = jnp.maximum(mm, acc[:, p * Q:(p + 1) * Q])
+            o_ref[c * nblk:(c + 1) * nblk, :] = (
+                0.5 * (nbit - mm).astype(jnp.float32)).astype(out_dtype)
+
+    if n_rows2 < pl.num_programs(0) * block_g * 8:   # static predicate
+        last = pl.num_programs(0) - 1
+        pl.when(i == last)(lambda: compute(True))
+        pl.when(i != last)(lambda: compute(False))
+    else:
+        compute(False)
+
+
+def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
+                                block_g: int | None = None,
+                                interpret: bool = False,
+                                out_dtype=jnp.float32,
+                                n_rows: int | None = None):
+    """Per-subblock min distances over a bit-plane gallery: (Q, nbit) x
+    (G, 128) uint8 (from ``pack_bitplane_serving``) -> (ceil(G*8*P/S), Q)
+    transposed mins in ``out_dtype`` (bf16 exact for nbit <= 128, see
+    ``subblock_min_dists_packed``).
+
+    Same MXU MACs as the int8 packed kernel (8 planes x 1/8 the rows), 8x
+    less HBM read — the layout that fits 1e9 codes x 64 bits in 8 GB next
+    to the mins array. Needs ``subblock % (8 * (128//nbit)) == 0`` so byte
+    groups never straddle subblocks.
+
+    ``n_rows``: count of VALID packed rows (static int). Byte-pad rows
+    (bits 0x00) unpack to all-negative codes — real-looking, unlike the
+    int8 layout's zero codes — so packed rows >= n_rows are masked to
+    nbit+1 like grid padding. Defaults to all stored rows.
+    """
+    Q, nbit = q_signs.shape
+    assert 128 % nbit == 0
+    P = 128 // nbit
+    assert subblock % (8 * P) == 0, (subblock, P)
+    spp = subblock // P
+    gps = spp // 8
+    G = bp.shape[0]
+    N = G * 8 * P                           # stored codes (incl. byte pad)
+    if n_rows is None:
+        n_rows = G * 8
+    qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)  # strict ±1
+
+    # size the inner chunk so the (chunk_g, P*Q) int32 sim tile stays within
+    # the same ~4MB VMEM budget as the packed kernel
+    budget_rows = (_SIM_TILE_BYTES // 4 // max(P * Q, 1)) // gps * gps
+    chunk_g = max(gps, min(2048, budget_rows))
+    chunk_g = max(gps, min(chunk_g, _cdiv(G, gps) * gps))  # tiny-gallery safe
+    if block_g is None:
+        block_g = 4 * chunk_g
+    else:
+        assert block_g % gps == 0
+        chunk_g = min(chunk_g, block_g)
+        while block_g % chunk_g:           # largest gps-multiple divisor
+            chunk_g -= gps
+    assert block_g % chunk_g == 0 and chunk_g % gps == 0, (
+        block_g, chunk_g, gps)
+    grid = _cdiv(G, block_g)
+    m_pad = grid * (block_g // gps)
+    # pads (byte pad + grid pad) must sit entirely in the LAST grid step —
+    # the only one that runs the mask (same structure as the other kernels)
+    assert n_rows > (grid - 1) * block_g * 8, (n_rows, grid, block_g)
+
+    if not _HAS_PALLAS or (not interpret
+                           and jax.default_backend() != "tpu"):
+        rows_db = unpack_bitplane(bp).reshape(N, nbit)[:n_rows * P]
+        return _mins_reference(qi, rows_db, subblock, m_pad, out_dtype)
+
+    if (not interpret and out_dtype == jnp.bfloat16
+            and (block_g // gps) % 16):
+        # bf16 out tiles are (16, 128) — see subblock_min_dists_packed
+        out_dtype = jnp.float32
+    qc = _block_diag_queries(qi, P)                        # (P*Q, 128)
+    out = pl.pallas_call(
+        functools.partial(_mins_kernel_bitplane, nbit=nbit, P=P,
+                          subblock=subblock, block_g=block_g,
+                          n_rows2=n_rows, Q=Q, chunk_g=chunk_g,
+                          out_dtype=out_dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((P * Q, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_g, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_g // gps, Q),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, Q), out_dtype),
+        interpret=interpret,
+    )(qc, bp)
+    return out
+
+
+def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 256,
+                        cap: int | None = None, interpret: bool = False,
+                        n_valid=None, retry_mult: int = 2):
+    """Exact top-k over a bit-plane gallery (``pack_bitplane_serving``) —
+    the 1e9-codes-on-one-chip serving path. Same selection scaffold and
+    exactness certificate as ``exact_topk_minspass`` (subblock mins ->
+    hierarchical selection -> candidate rescore -> certificate + one
+    on-device retry); differs in the mins kernel (bit-plane unpack, 8x less
+    HBM) and the rescore, which gathers 2KB contiguous byte-row slices of
+    the SAME stored array (no second gallery layout in HBM — at 1e9 a
+    second copy is itself 8 GB) and scores planes with shift/and + a
+    (128, P) slot-sum MXU contraction.
+
+    Galleries whose stored code count exceeds the real one (pack padding:
+    zero codes at nbit/2 from the P-row pack, all-negative codes from the
+    byte pad) MUST pass ``n_valid`` = real N; rows >= n_valid are masked to
+    +inf before any distance is consumed, same contract as minspass.
+
+    Returns (distances (Q, k) f32, indices (Q, k) i32, valid () bool);
+    ``valid`` False means the caller must use an exact fallback.
+    """
+    Q, nbit = q_signs.shape
+    assert 128 % nbit == 0
+    P = 128 // nbit
+    assert subblock % (8 * P) == 0, (subblock, P)
+    gps = subblock // P // 8               # byte rows per subblock
+    G = bp.shape[0]
+    N = G * 8 * P                           # stored codes (incl. pads)
+    m_real = _cdiv(N, subblock)
+    if cap is None:
+        # hold the RESCORED CANDIDATE COUNT (cap * subblock) at minspass's
+        # tuned 512*64 point as subblocks coarsen: cap counts subblocks,
+        # and at S=512 a cap of 512 made the rescore gather 537MB per
+        # 256-query batch and its plane loop sweep it 24x — measured 5x
+        # the whole int8 call (r5 probe). The certificate + on-device
+        # retry still guard tie-heavy galleries.
+        cap = max(64, (512 * 64) // subblock)
+    qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)
+    nv = N if n_valid is None else n_valid
+
+    if m_real <= cap:
+        # fewer subblocks than the candidate budget: dense rescore over the
+        # unpacked gallery (small galleries / tests)
+        rows_db = unpack_bitplane(bp).reshape(N, nbit)
+        sim = jax.lax.dot_general(
+            qi, rows_db, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dist = 0.5 * (nbit - sim).astype(jnp.float32)
+        col = jnp.arange(N, dtype=jnp.int32)
+        dist = jnp.where(col < nv, dist, jnp.inf)
+        neg, idx = jax.lax.top_k(-dist, k)
+        return -neg, idx, jnp.array(True)
+
+    large_m = m_real > _INNER_DIRECT_MAX
+    mdt = jnp.bfloat16 if nbit <= 128 else jnp.float32
+    # byte-pad codes are all-negative (real-looking), so mask them at the
+    # mins level too when n_valid is static — otherwise an all-negative
+    # query's candidate budget drains into pad subblocks (rescore still
+    # masks them; the certificate + retry keep exactness either way)
+    nr = G * 8
+    if isinstance(n_valid, int):
+        nr = min(nr, _cdiv(n_valid, P))
+    mins_t = subblock_min_dists_bitplane(qi, bp, subblock=subblock,
+                                         interpret=interpret,
+                                         out_dtype=mdt,
+                                         n_rows=nr)          # (m_pad, Q)
+    if large_m:
+        # reduce superblocks in the kernel's own (m, Q) layout, ONE
+        # transpose — see exact_topk_minspass (round-4 OOM lineage)
+        sub2 = 64
+        pad2 = (-mins_t.shape[0]) % sub2
+        if pad2:
+            mins_t = jnp.concatenate(
+                [mins_t,
+                 jnp.full((pad2, Q), float(nbit + 1), mins_t.dtype)])
+        msb = mins_t.reshape(-1, sub2, Q).min(axis=1).T      # (Q, m2)
+        mins = mins_t.T                                      # (Q, m_pad2)
+    else:
+        sub2 = 64
+        msb = None
+        mins = mins_t[:m_real].T                             # (Q, m)
+
+    # query bytes for the plane rescore: lane l of the packed layout is bit
+    # (l % nbit) of code slot l // nbit, so the query's mismatch byte for
+    # lane l is 0xFF iff bit (l % nbit) is set (bytes compare 8 codes
+    # against the SAME query lane)
+    qlane = (qi > 0)[:, jnp.mod(jnp.arange(128), nbit)]      # (Q, 128) bool
+    qb = jnp.where(qlane, jnp.uint8(0xFF), jnp.uint8(0))
+    # (128, P) slot indicator: lane l belongs to code slot l // nbit
+    slot = (jnp.arange(128)[:, None] // nbit
+            == jnp.arange(P)[None, :]).astype(jnp.int8)
+    # unpack-order -> in-subblock code index: plane j of byte row g_local,
+    # lane slot p is packed row 8*g_local + j, code (8*g_local + j)*P + p.
+    # The rescore emits (g_local, j, p)-ordered distances, which IS that
+    # code order — rows stay the natural arange, same as minspass.
+
+    def _select_rescore(cap_i: int):
+        if not large_m:
+            neg_mv, sel_all = jax.lax.top_k(-mins, cap_i + 1)
+            sel = sel_all[:, :cap_i]                         # (Q, cap_i)
+            theta_next = -neg_mv[:, cap_i]
+        else:
+            sel, theta_next = _approx_smallest_rows(mins, cap_i, sub2=sub2,
+                                                    return_theta=True,
+                                                    mins2=msb)
+        rows = (sel[:, :, None] * subblock
+                + jnp.arange(subblock, dtype=sel.dtype)).reshape(
+                    Q, cap_i * subblock)
+        # gather WHOLE subblocks as gps consecutive byte rows (gps*128 B
+        # contiguous — 2KB at S=256/nbit=64; scattered sub-512B reads are
+        # ~50x slower, round-4 measurement) straight from the stored array
+        start = jnp.minimum(sel * gps, max(G - gps, 0)).reshape(-1)
+        gath = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(bp, (s, 0), (gps, 128)))(start)
+        gath = gath.reshape(Q, cap_i, gps, 128)
+        x = jnp.bitwise_xor(gath, qb[:, None, None, :])
+        dj = []
+        for j in range(8):                                   # static planes
+            bits = ((x >> j) & 1).astype(jnp.int8)
+            dj.append(jax.lax.dot_general(
+                bits, slot, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))           # (Q,cap,gps,P)
+        # (g_local, j, p) order == in-subblock code order (see above)
+        dist_c = jnp.stack(dj, axis=3).astype(jnp.float32).reshape(
+            Q, cap_i * subblock)
+        dist_c = jnp.where(rows >= nv, jnp.inf, dist_c)
+        negd, li = jax.lax.top_k(-dist_c, k)
+        d = -negd
+        idx = jnp.take_along_axis(rows, li, axis=1)
+        valid = jnp.all(d[:, -1] < theta_next)
+        return d, idx, valid
+
+    d1, i1, v1 = _select_rescore(cap)
+    cap_retry = min(retry_mult * cap, m_real - 1)
+    if cap_retry <= cap:
+        return d1, i1, v1
+    return jax.lax.cond(
+        v1, lambda _: (d1, i1, v1),
+        lambda _: _select_rescore(cap_retry), None)

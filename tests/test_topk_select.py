@@ -550,3 +550,133 @@ def test_pack_bits_serving_rejects_unsupported_widths():
         pack_bits_serving(jnp.ones((8, 16), jnp.int8), 16)
     with pytest.raises(ValueError, match="ambiguous"):
         pack_bits_serving(jnp.ones((8, 128), jnp.int8))  # no explicit nbit
+
+
+def test_bitplane_pack_roundtrip(rng):
+    """pack_bitplane_serving packs 8 packed rows per byte row along the
+    sublane axis; unpack_bitplane inverts it exactly, including both pad
+    kinds (P-row zero codes, byte-pad all-negative rows)."""
+    from concepthash_tpu.ops.topk_select import (pack_bitplane_serving,
+                                                 pack_serving_gallery,
+                                                 unpack_bitplane)
+
+    nbit = 32                            # P = 4
+    N = 203                              # pack pads to 204; rows 51 -> 56
+    db = _signs(rng, N, nbit)
+    bp, n_pad = pack_bitplane_serving(db)
+    assert bp.dtype == jnp.uint8 and bp.shape == (7, 128)
+    assert n_pad == 7 * 8 * 4
+    back = np.asarray(unpack_bitplane(bp)).reshape(-1, nbit)
+    np.testing.assert_array_equal(back[:N], np.sign(db).astype(np.int8))
+    # pack-pad zero codes unpack as all-negative under the >0 convention
+    assert (back[N:] == -1).all()
+    # packing from the 128-lane int8 form gives the identical array
+    packed, _ = pack_serving_gallery(db)
+    bp2, n_pad2 = pack_bitplane_serving(packed, nbit=nbit)
+    assert n_pad2 == n_pad
+    np.testing.assert_array_equal(np.asarray(bp), np.asarray(bp2))
+
+
+def test_bitplane_mins_matches_oracle(rng):
+    """Bit-plane mins kernel (interpret) == the plain-layout reference on
+    the same logical gallery, including byte-pad masking (all-zero BITS
+    unpack to real-looking all-negative codes and must come out at
+    nbit+1, not their raw distance)."""
+    from concepthash_tpu.ops.topk_select import (pack_bitplane_serving,
+                                                 subblock_min_dists_bitplane)
+
+    nbit, Q = 32, 16                     # P = 4 -> subblock % 32 == 0
+    S = 32
+    for N in (1024, 1001, 517):          # aligned, pack-ragged, byte-ragged
+        q = _signs(rng, Q, nbit)
+        db = _signs(rng, N, nbit)
+        bp, n_pad = pack_bitplane_serving(db)
+        # a bit-plane has no zero state: P-pad SLOTS store as all-negative
+        # codes (NOT the int8 layout's nbit/2 zero codes — why serving
+        # passes n_valid); byte-pad ROWS are masked to nbit+1 via n_rows
+        from concepthash_tpu.ops.topk_select import pack_serving_gallery
+        _, n_packpad = pack_serving_gallery(db)
+        P = 128 // nbit
+        got = np.asarray(subblock_min_dists_bitplane(
+            jnp.asarray(q), bp, subblock=S, block_g=16, interpret=True,
+            n_rows=n_packpad // P))
+        dbp = np.concatenate(
+            [db, -np.ones((n_packpad - N, nbit), np.float32)])
+        dist = 0.5 * (nbit - q @ np.sign(dbp).T)
+        m_real = -(-n_pad // S)
+        pad = m_real * S - n_packpad
+        if pad:
+            dist = np.concatenate(
+                [dist, np.full((Q, pad), nbit + 1.0, np.float32)], axis=1)
+        mins_np = dist.reshape(Q, m_real, S).min(-1)
+        np.testing.assert_array_equal(got[:m_real].T, mins_np)
+
+
+def test_exact_bitplane_matches_dense(rng):
+    """exact_topk_bitplane == the dense oracle across tie regimes and both
+    branches (dense small-m and selection+rescore), with n_valid masking
+    both pad kinds."""
+    from concepthash_tpu.ops.topk_select import (exact_topk_bitplane,
+                                                 pack_bitplane_serving)
+    import concepthash_tpu.ops.topk_select as ts
+
+    nbit, k, Q = 64, 9, 5                # P = 2 -> subblock % 16 == 0
+    for trial in range(4):
+        N = int(rng.integers(900, 4000))
+        if trial % 2:                    # duplicate-row tie floods
+            base = _signs(rng, max(4, N // 8), nbit)
+            db = base[rng.integers(0, base.shape[0], N)]
+        else:
+            db = _signs(rng, N, nbit)
+        q = _signs(rng, Q, nbit)
+        bp, n_pad = pack_bitplane_serving(db)
+        dist = _oracle_dist(q, db)
+        ref = np.sort(dist, 1)[:, :k]
+
+        d, i, v = exact_topk_bitplane(jnp.asarray(q), bp, k, subblock=16,
+                                      cap=32, interpret=True, n_valid=N)
+        if bool(v):
+            np.testing.assert_array_equal(np.sort(np.asarray(d), 1), ref,
+                                          err_msg=f"trial {trial}")
+        assert np.asarray(i).max() < N
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, np.asarray(i), 1), np.asarray(d))
+
+        # force the large-m hierarchical branch on the same data
+        old = ts._INNER_DIRECT_MAX
+        ts._INNER_DIRECT_MAX = 8
+        try:
+            d2, i2, v2 = exact_topk_bitplane(jnp.asarray(q), bp, k,
+                                             subblock=16, cap=32,
+                                             interpret=True, n_valid=N)
+        finally:
+            ts._INNER_DIRECT_MAX = old
+        if bool(v2):
+            np.testing.assert_array_equal(np.sort(np.asarray(d2), 1), ref,
+                                          err_msg=f"large-m trial {trial}")
+        np.testing.assert_array_equal(
+            np.take_along_axis(dist, np.asarray(i2), 1), np.asarray(d2))
+
+
+def test_bitplane_rescore_order_permutation(rng):
+    """The rescore's (g_local, j, p) emission order must equal the natural
+    in-subblock code order — checked by driving a gallery whose codes are
+    all distinct distances from a single query (no ties), so any index
+    permutation error surfaces as a wrong index, not a tie swap."""
+    from concepthash_tpu.ops.topk_select import (exact_topk_bitplane,
+                                                 pack_bitplane_serving)
+
+    nbit, Q = 64, 1
+    N = 512                              # exactly 2 subblocks of 256
+    # distinct distances: code i flips exactly i (mod nbit+1 capped) bits
+    q = np.ones((Q, nbit), np.float32)
+    db = np.ones((N, nbit), np.float32)
+    for i in range(N):
+        db[i, : min(i % 65, nbit)] = -1.0
+    bp, n_pad = pack_bitplane_serving(db)
+    dist = _oracle_dist(q, db)
+    k = 16
+    d, i, v = exact_topk_bitplane(jnp.asarray(q), bp, k, subblock=256,
+                                  cap=1, interpret=True, n_valid=N)
+    np.testing.assert_array_equal(
+        np.take_along_axis(dist, np.asarray(i), 1), np.asarray(d))
