@@ -214,8 +214,7 @@ def bench_serving_exact_bitplane(jnp, jax, n_db: int, n_q: int,
     bp.block_until_ready()
     rng = np.random.default_rng(3)
     q = jnp.asarray(np.sign(rng.standard_normal((n_q, nbit))), jnp.float32)
-    fn = jax.jit(lambda q, bp: exact_topk_bitplane(
-        q, bp, k=topk, subblock=512))   # auto cap scales with subblock
+    fn = jax.jit(lambda q, bp: exact_topk_bitplane(q, bp, k=topk))
     d, i, v = fn(q, bp)
     np.asarray(jax.device_get(i[:1, :1]))
     t0 = time.perf_counter()

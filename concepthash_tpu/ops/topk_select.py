@@ -912,7 +912,7 @@ def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
     return out
 
 
-def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 256,
+def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 128,
                         cap: int | None = None, interpret: bool = False,
                         n_valid=None, retry_mult: int = 2):
     """Exact top-k over a bit-plane gallery (``pack_bitplane_serving``) —
@@ -942,13 +942,16 @@ def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 256,
     N = G * 8 * P                           # stored codes (incl. pads)
     m_real = _cdiv(N, subblock)
     if cap is None:
-        # hold the RESCORED CANDIDATE COUNT (cap * subblock) at minspass's
-        # tuned 512*64 point as subblocks coarsen: cap counts subblocks,
-        # and at S=512 a cap of 512 made the rescore gather 537MB per
-        # 256-query batch and its plane loop sweep it 24x — measured 5x
-        # the whole int8 call (r5 probe). The certificate + on-device
-        # retry still guard tie-heavy galleries.
-        cap = max(64, (512 * 64) // subblock)
+        # 512 at every subblock, like minspass: scaling cap DOWN with
+        # subblock (to hold the rescored candidate count at the tuned
+        # 512*64 point) failed the exactness certificate on random
+        # galleries — coarse subblocks have near-equal mins (min of S
+        # draws), so the selection needs MORE of them, not fewer, to get
+        # theta_next above the k-th distance. Measured at 1e8/Q=256
+        # (r5 probe): S=512/cap=64 2005 qps but INVALID; S=128/cap=512
+        # 944 qps valid FIRST-TRY (no retry); S=128/cap=256 valid only
+        # via the retry at 731 qps.
+        cap = 512
     qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)
     nv = N if n_valid is None else n_valid
 

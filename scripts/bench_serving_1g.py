@@ -31,13 +31,18 @@ from concepthash_tpu.ops.topk_select import (exact_topk_bitplane,
 
 def main():
     n_db = int(float(os.environ.get("N_DB", 1_000_000_000)))
-    n_q = int(os.environ.get("N_Q", 256))
+    # Q=128 at 1e9: the (N/S, Q) bf16 mins + its one transpose are 2 GB
+    # each at S=128 — beside the 8 GB gallery that is the 16 GB chip's
+    # budget. Larger galleries-per-query amortize better but OOM.
+    n_q = int(os.environ.get("N_Q", 128))
     nbit, k = 64, 100
-    subblock = int(os.environ.get("SUBBLOCK", 512))
-    cap = int(os.environ.get("CAP", 0)) or None   # None = auto (scales 1/S)
+    subblock = int(os.environ.get("SUBBLOCK", 128))
+    cap = int(os.environ.get("CAP", 0)) or None   # None = auto (512)
     spot_q = int(os.environ.get("SPOT_Q", 4))
 
-    assert n_db % (16 * subblock) == 0, "keep the 1e9 gallery pad-free"
+    # pad-free: whole byte rows (16 codes each at nbit=64) and whole
+    # subblocks (1e9 is divisible by both at the S=128 default)
+    assert n_db % 16 == 0 and n_db % subblock == 0, n_db
     G = n_db * nbit // 128 // 8             # bit-plane byte rows
 
     # born bit-plane: random bytes are random sign bits; block-wise so the
