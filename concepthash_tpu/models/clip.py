@@ -247,6 +247,11 @@ class EncoderLayer(nn.Module):
         from concepthash_tpu.ops.fused_ln import ln_matmul, resolve_fused_ln
 
         qkvo = self.adapters is not None and self.adapters.attention_qkvo
+        # whole-layer single-boundary kernel (ops/fused_layer.py): adapters
+        # and attention-prob outputs need the discrete path
+        if (self.fused_ln == "pallas_layer" and self.adapters is None
+                and not output_attentions):
+            return self._fused_layer(x), None
         # q/k/v/o adapters consume the normalized input -> fusion off there
         fused = resolve_fused_ln(self.fused_ln,
                                  x.shape[0] * x.shape[1]) and not qkvo
@@ -288,6 +293,50 @@ class EncoderLayer(nn.Module):
             h = h + Adapter(self.adapters, self.dtype, name="adapter_mlp")(h)
         x = res + h
         return x, probs
+
+    def _fused_layer(self, x):
+        """Single pallas_call for the whole block (ops/fused_layer.py).
+        Declares the SAME param tree as the discrete path (LN/Dense mirrors
+        under the same names) so checkpoints are interchangeable."""
+        from concepthash_tpu.ops.fused_layer import LayerWeights, encoder_layer
+
+        D = x.shape[-1]
+        g1, b1 = _LNParamsMirror(name="layer_norm1")(D)
+        attn = self._fused_attn_params(D)
+        g2, b2 = _LNParamsMirror(name="layer_norm2")(D)
+        k1, bf1 = _DenseParamsMirror(self.intermediate_size, name="fc1")(D)
+        k2, bf2 = _DenseParamsMirror(D, name="fc2")(self.intermediate_size)
+        w = LayerWeights(
+            ln1_scale=g1, ln1_bias=b1,
+            w_qkv=attn[0].astype(self.dtype), b_qkv=attn[1],
+            w_out=attn[2].astype(self.dtype), b_out=attn[3],
+            ln2_scale=g2, ln2_bias=b2,
+            w_fc1=k1.astype(self.dtype), b_fc1=bf1,
+            w_fc2=k2.astype(self.dtype), b_fc2=bf2)
+        return encoder_layer(x, w, num_heads=self.num_heads, eps=self.eps,
+                             act=self.act, impl="pallas_layer")
+
+    def _fused_attn_params(self, D):
+        """q/k/v/out mirrors scoped under self_attn (checkpoint-compatible
+        with MultiHeadAttention's nn.Dense modules)."""
+        return _AttnParamsMirror(D, name="self_attn")()
+
+
+class _AttnParamsMirror(nn.Module):
+    """Param-tree twin of MultiHeadAttention's four projections; returns
+    (w_qkv concatenated, b_qkv, w_out, b_out) for the fused-layer kernel."""
+
+    D: int
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _DenseParamsMirror(self.D, name="q_proj")(self.D)
+        kk, bk = _DenseParamsMirror(self.D, name="k_proj")(self.D)
+        kv, bv = _DenseParamsMirror(self.D, name="v_proj")(self.D)
+        ko, bo = _DenseParamsMirror(self.D, name="out_proj")(self.D)
+        w_qkv = jnp.concatenate([kq, kk, kv], axis=1)
+        b_qkv = jnp.concatenate([bq, bk, bv])
+        return w_qkv, b_qkv, ko, bo
 
 
 def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> "np.ndarray":

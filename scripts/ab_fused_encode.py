@@ -6,11 +6,12 @@ from concepthash_tpu.models.concepthash import ConceptHash, ConceptHashConfig
 
 def fence(x): np.asarray(jax.device_get(x)[:1])
 
-def bench(fused):
+def bench(fused, adapters=True):
     vcfg = ClipVisionConfig(fused_ln=fused)
     ccfg = ConceptHashConfig(nbit=64, nclass=200)
     center = np.zeros((ccfg.nclass, ccfg.center_dim), np.float32)
-    model = ConceptHash(vcfg, ccfg, adapters=AdapterConfig(),
+    model = ConceptHash(vcfg, ccfg,
+                        adapters=AdapterConfig() if adapters else None,
                         fixed_center=jnp.asarray(center), dtype=jnp.bfloat16)
     imgs = jnp.zeros((1024, 224, 224, 3), jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0),
@@ -21,8 +22,15 @@ def bench(fused):
     for _ in range(5): out = fwd(variables, imgs)
     fence(out)
     sec = (time.perf_counter() - t0) / 5
-    print(json.dumps({"fused_ln": fused, "img_per_s": round(1024/sec, 1)}))
+    print(json.dumps({"fused_ln": fused, "adapters": adapters,
+                      "img_per_s": round(1024/sec, 1)}), flush=True)
 
-bench("xla")
-bench("pallas")
-bench("pallas_mlp")
+if "--layer" in sys.argv:
+    # whole-layer single-boundary kernel (ops/fused_layer.py) — adapters off
+    # (outside the kernel's scope), so the honest baseline is also adapters-off
+    bench("xla", adapters=False)
+    bench("pallas_layer", adapters=False)
+else:
+    bench("xla")
+    bench("pallas")
+    bench("pallas_mlp")
