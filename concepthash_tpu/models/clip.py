@@ -155,11 +155,12 @@ class _DenseParamsMirror(nn.Module):
     """Same param tree as nn.Dense ({kernel, bias}), params handed back."""
 
     features: int
+    kernel_init: Any = None  # default: nn.Dense's lecun_normal
 
     @nn.compact
     def __call__(self, D: int):
-        return (self.param("kernel", nn.initializers.lecun_normal(),
-                           (D, self.features)),
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        return (self.param("kernel", init, (D, self.features)),
                 self.param("bias", nn.initializers.zeros, (self.features,)))
 
 
@@ -247,10 +248,12 @@ class EncoderLayer(nn.Module):
         from concepthash_tpu.ops.fused_ln import ln_matmul, resolve_fused_ln
 
         qkvo = self.adapters is not None and self.adapters.attention_qkvo
-        # whole-layer single-boundary kernel (ops/fused_layer.py): adapters
-        # and attention-prob outputs need the discrete path
-        if (self.fused_ln == "pallas_layer" and self.adapters is None
-                and not output_attentions):
+        # whole-layer single-boundary kernel (ops/fused_layer.py): parallel
+        # branch adapters run inside it; qkvo adapters, LN-less adapters and
+        # attention-prob outputs need the discrete path
+        if (self.fused_ln == "pallas_layer" and not output_attentions
+                and not qkvo
+                and (self.adapters is None or self.adapters.layernorm_in)):
             return self._fused_layer(x), None
         # q/k/v/o adapters consume the normalized input -> fusion off there
         fused = resolve_fused_ln(self.fused_ln,
@@ -296,8 +299,8 @@ class EncoderLayer(nn.Module):
 
     def _fused_layer(self, x):
         """Single pallas_call for the whole block (ops/fused_layer.py).
-        Declares the SAME param tree as the discrete path (LN/Dense mirrors
-        under the same names) so checkpoints are interchangeable."""
+        Declares the SAME param tree as the discrete path (LN/Dense/Adapter
+        mirrors under the same names) so checkpoints are interchangeable."""
         from concepthash_tpu.ops.fused_layer import LayerWeights, encoder_layer
 
         D = x.shape[-1]
@@ -313,8 +316,16 @@ class EncoderLayer(nn.Module):
             ln2_scale=g2, ln2_bias=b2,
             w_fc1=k1.astype(self.dtype), b_fc1=bf1,
             w_fc2=k2.astype(self.dtype), b_fc2=bf2)
+        a1 = a2 = None
+        if self.adapters is not None and self.adapters.after_attention:
+            a1 = _AdapterParamsMirror(self.adapters, self.dtype,
+                                      name="adapter_attn")(D)
+        if self.adapters is not None and self.adapters.after_mlp:
+            a2 = _AdapterParamsMirror(self.adapters, self.dtype,
+                                      name="adapter_mlp")(D)
         return encoder_layer(x, w, num_heads=self.num_heads, eps=self.eps,
-                             act=self.act, impl="pallas_layer")
+                             act=self.act, adapter_attn=a1, adapter_mlp=a2,
+                             impl="pallas_layer")
 
     def _fused_attn_params(self, D):
         """q/k/v/out mirrors scoped under self_attn (checkpoint-compatible
@@ -337,6 +348,30 @@ class _AttnParamsMirror(nn.Module):
         w_qkv = jnp.concatenate([kq, kk, kv], axis=1)
         b_qkv = jnp.concatenate([bq, bk, bv])
         return w_qkv, b_qkv, ko, bo
+
+
+class _AdapterParamsMirror(nn.Module):
+    """Param-tree twin of Adapter (ln/down/up/scale, same names and inits —
+    up is zero-init) handing the leaves to the fused-layer kernel."""
+
+    cfg: AdapterConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, D: int):
+        from concepthash_tpu.ops.fused_layer import AdapterWeights
+
+        assert self.cfg.layernorm_in, "fused adapter requires layernorm_in"
+        ln_s, ln_b = _LNParamsMirror(name="ln")(D)
+        kd, bd = _DenseParamsMirror(self.cfg.bottleneck_dim, name="down")(D)
+        ku, bu = _DenseParamsMirror(
+            D, kernel_init=nn.initializers.zeros,
+            name="up")(self.cfg.bottleneck_dim)
+        scale = self.param("scale", nn.initializers.ones, (1,), jnp.float32)
+        return AdapterWeights(
+            ln_scale=ln_s, ln_bias=ln_b,
+            w_down=kd.astype(self.dtype), b_down=bd,
+            w_up=ku.astype(self.dtype), b_up=bu, scale=scale)
 
 
 def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float) -> "np.ndarray":

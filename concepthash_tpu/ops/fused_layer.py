@@ -13,17 +13,26 @@ Geometry (ViT-B: D=768, F=3072, H=12, L=54): the weights are too large to
 hold alongside double-buffered activations under the relay's 16MB
 scoped-vmem limit, so the MLP is tiled over the grid's minor axis: grid =
 (B/G image blocks, F/Fc hidden chunks). Step (i, 0) runs LN1 + attention +
-projection + residual + LN2 and stashes the normalized x2 in VMEM scratch;
-every step (i, j) then applies one (D, Fc) fc1 chunk and its (Fc, D) fc2
-chunk, accumulating into an f32 scratch; step (i, nF-1) adds the residual
-and writes the output block. qkv/out-proj weights use constant index maps
-(fetched once, resident); fc1/fc2 chunks stream with double buffering.
+projection (+ the parallel after-attention adapter) + residual + LN2 and
+stashes x2 and LN2(x2) in VMEM scratch; every step (i, j) then applies one
+(D, Fc) fc1 chunk and its (Fc, D) fc2 chunk, accumulating the MLP branch
+into an f32 scratch; step (i, nF-1) applies the after-MLP adapter to the
+completed branch, adds the residual, and writes the output block.
+qkv/out-proj/adapter weights use constant index maps (fetched once,
+resident); fc1/fc2 chunks stream with double buffering. G (images per
+block) adapts to the VMEM inventory (8 plain, 4 with adapters).
 
 In-kernel attention mirrors models/clip.MultiHeadAttention: per-head
 rank-3 batched dots (G images per step as the batch dim), f32 softmax,
 padded key columns masked to -inf (L is padded to the sublane multiple).
 Head slices are 64-lane sub-tiles — Mosaic relayouts them in VMEM, which
 is acceptable because attention is ~3% of layer FLOPs at L=54.
+
+Adapters (models/clip.Adapter: LN -> down -> exact GELU -> up -> scale)
+run inside the kernel. Exact GELU needs erf, which Mosaic may not lower;
+the kernel uses the Abramowitz-Stegun 7.1.26 rational approximation
+(|err| < 1.5e-7 — below a bf16 ulp, so indistinguishable from lax.erf on
+this path; deviation documented here).
 
 Numerics follow the production bf16 path: LN stats in f32, activations
 bf16 between ops, every dot accumulated in f32 (preferred_element_type),
@@ -46,7 +55,7 @@ verdict either way).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +91,18 @@ class LayerWeights(NamedTuple):
     b_fc2: jax.Array      # (D,)
 
 
+class AdapterWeights(NamedTuple):
+    """models/clip.Adapter params (LN-in variant; scale broadcast (1,))."""
+
+    ln_scale: jax.Array  # (D,)
+    ln_bias: jax.Array   # (D,)
+    w_down: jax.Array    # (D, A)
+    b_down: jax.Array    # (A,)
+    w_up: jax.Array      # (A, D)
+    b_up: jax.Array      # (D,)
+    scale: jax.Array     # (1,)
+
+
 def _ln_f32(x, scale, bias, eps):
     mu = x.mean(axis=-1, keepdims=True)
     var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
@@ -92,14 +113,58 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7): exp-only, Mosaic-safe."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_kernel(x):
+    return x * 0.5 * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
+
+
 def _gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def _layer_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                  g2_ref, b2_ref, w1_ref, b1fc_ref, w2_ref, b2fc_ref,
-                  o_ref, xn2_s, acc_s, *,
-                  H: int, L: int, eps: float, act: str, n_fc: int):
+def _act(name: str, x, in_kernel: bool):
+    if name == "quick_gelu":
+        return _quick_gelu(x)
+    return _gelu_exact_kernel(x) if in_kernel else _gelu_exact(x)
+
+
+def _adapter_kernel(h, refs, dt):
+    """models/clip.Adapter math on a (N, D) f32 tile inside the kernel."""
+    ln_g, ln_b, wd, bd, wu, bu, sc = refs
+    z = _ln_f32(h, ln_g[...].astype(jnp.float32),
+                ln_b[...].astype(jnp.float32), 1e-5).astype(dt)
+    d = jax.lax.dot(z, wd[...], preferred_element_type=jnp.float32)
+    d = _gelu_exact_kernel(d + bd[...].astype(jnp.float32)).astype(dt)
+    u = jax.lax.dot(d, wu[...], preferred_element_type=jnp.float32)
+    u = u + bu[...].astype(jnp.float32)
+    return u * sc[...].astype(jnp.float32)
+
+
+def _layer_kernel(*refs, H: int, L: int, eps: float, act: str, n_fc: int,
+                  has_a1: bool, has_a2: bool):
+    (x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+     g2_ref, b2_ref, w1_ref, b1fc_ref, w2_ref, b2fc_ref) = refs[:13]
+    pos = 13
+    a1_refs = a2_refs = None
+    if has_a1:
+        a1_refs = refs[pos:pos + 7]
+        pos += 7
+    if has_a2:
+        a2_refs = refs[pos:pos + 7]
+        pos += 7
+    o_ref, x2_s, xn2_s, acc_s = refs[pos:pos + 4]
+
     j = pl.program_id(1)
     G, Lp, D = x_ref.shape
     hd = D // H
@@ -138,42 +203,59 @@ def _layer_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         o = jnp.concatenate(heads, axis=-1).reshape(G * Lp, D)
         proj = jax.lax.dot(o, wo_ref[...],
                            preferred_element_type=jnp.float32)
-        proj = proj + bo_ref[...].astype(jnp.float32)
-        x2 = x + proj.reshape(G, Lp, D)  # f32 residual
+        h_att = proj + bo_ref[...].astype(jnp.float32)  # (G*Lp, D) f32
+        if has_a1:  # parallel adapter on the attention branch output
+            h_att = h_att + _adapter_kernel(h_att.astype(dt), a1_refs, dt)
+        x2 = x + h_att.reshape(G, Lp, D)
         xn2 = _ln_f32(x2, g2_ref[...].astype(jnp.float32),
                       b2_ref[...].astype(jnp.float32), eps)
+        x2_s[...] = x2.astype(dt)
         xn2_s[...] = xn2.astype(dt)
-        # accumulator starts at residual + fc2 bias (added exactly once)
-        acc_s[...] = x2 + b2fc_ref[...].astype(jnp.float32)
+        # MLP-branch accumulator starts at the fc2 bias (added exactly once)
+        acc_s[...] = jnp.broadcast_to(
+            b2fc_ref[...].astype(jnp.float32), (G, Lp, D))
 
     xn2 = xn2_s[...]
     h = jax.lax.dot(xn2.reshape(G * Lp, D), w1_ref[...],
                     preferred_element_type=jnp.float32)
     h = h + b1fc_ref[...].astype(jnp.float32)
-    h = (_quick_gelu(h) if act == "quick_gelu" else _gelu_exact(h)).astype(dt)
+    h = _act(act, h, in_kernel=True).astype(dt)
     part = jax.lax.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     acc_s[...] += part.reshape(G, Lp, D)
 
     @pl.when(j == n_fc - 1)
     def _emit():
-        o_ref[...] = acc_s[...].astype(o_ref.dtype)
+        branch = acc_s[...]  # full MLP branch output (f32)
+        if has_a2:  # parallel adapter on the completed MLP branch
+            b2d = branch.reshape(G * Lp, D)
+            branch = branch + _adapter_kernel(
+                b2d.astype(dt), a2_refs, dt).reshape(G, Lp, D)
+        o_ref[...] = (x2_s[...].astype(jnp.float32) + branch).astype(
+            o_ref.dtype)
 
 
-def _pick_tiling(B: int, F: int):
+def _pick_tiling(B: int, F: int, with_adapters: bool):
     """(G images per block, Fc hidden chunk) under the 16MB scoped-vmem
     relay limit (see module docstring for the VMEM inventory)."""
-    G = 8 if B >= 8 else B
+    G = (4 if with_adapters else 8) if B >= 8 else B
     Fc = 768 if F % 768 == 0 else F
     while F % Fc:
         Fc //= 2
     return G, Fc
 
 
-def _pallas_layer(x, w: LayerWeights, *, num_heads: int, eps: float,
-                  act: str, interpret: bool):
+def _vec_specs(shapes):
+    # n=len(s) binds per-spec (comprehension lambdas capture late otherwise)
+    return [pl.BlockSpec(s, (lambda i, j, n=len(s): (0,) * n),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _pallas_layer(x, w: LayerWeights, a1: Optional[AdapterWeights],
+                  a2: Optional[AdapterWeights], *, num_heads: int,
+                  eps: float, act: str, interpret: bool):
     B, L, D = x.shape
     F = w.w_fc1.shape[1]
-    G, Fc = _pick_tiling(B, F)
+    G, Fc = _pick_tiling(B, F, a1 is not None or a2 is not None)
     Lp = _round_up(L, 8)
     Bp = _round_up(B, G)
     if (Lp, Bp) != (L, B):
@@ -181,44 +263,55 @@ def _pallas_layer(x, w: LayerWeights, *, num_heads: int, eps: float,
     n_fc = F // Fc
     dt = x.dtype
     kernel = functools.partial(_layer_kernel, H=num_heads, L=L, eps=eps,
-                               act=act, n_fc=n_fc)
-    const = lambda i, j: (0, 0)
-    const1 = lambda i, j: (0,)
+                               act=act, n_fc=n_fc, has_a1=a1 is not None,
+                               has_a2=a2 is not None)
+    in_specs = [
+        pl.BlockSpec((G, Lp, D), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        *_vec_specs([(D,), (D,)]),
+        *_vec_specs([(D, 3 * D), (3 * D,), (D, D), (D,), (D,), (D,)]),
+        pl.BlockSpec((D, Fc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Fc,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Fc, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        *_vec_specs([(D,)]),
+    ]
+    operands = [x, w.ln1_scale, w.ln1_bias, w.w_qkv, w.b_qkv, w.w_out,
+                w.b_out, w.ln2_scale, w.ln2_bias, w.w_fc1, w.b_fc1,
+                w.w_fc2, w.b_fc2]
+    for a in (a1, a2):
+        if a is not None:
+            A = a.w_down.shape[1]
+            in_specs += _vec_specs([(D,), (D,), (D, A), (A,), (A, D), (D,),
+                                    (1,)])
+            operands += list(a)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), dt),
         grid=(Bp // G, n_fc),
-        in_specs=[
-            pl.BlockSpec((G, Lp, D), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 3 * D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, Fc), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Fc,), lambda i, j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Fc, D), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), const1, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((G, Lp, D), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((G, Lp, D), dt),           # xn2
-            pltpu.VMEM((G, Lp, D), jnp.float32),  # MLP accumulator
+            pltpu.VMEM((G, Lp, D), dt),           # x2 (residual base)
+            pltpu.VMEM((G, Lp, D), dt),           # LN2(x2)
+            pltpu.VMEM((G, Lp, D), jnp.float32),  # MLP-branch accumulator
         ],
         interpret=interpret,
-    )(x, w.ln1_scale, w.ln1_bias, w.w_qkv, w.b_qkv, w.w_out, w.b_out,
-      w.ln2_scale, w.ln2_bias, w.w_fc1, w.b_fc1, w.w_fc2, w.b_fc2)
+    )(*operands)
     return out[:B, :L]
 
 
-def _xla_layer(x, w: LayerWeights, *, num_heads: int, eps: float, act: str):
+def _adapter_xla(h, a: AdapterWeights, dt):
+    """models/clip.Adapter composition (the recompute-backward twin)."""
+    z = _ln_f32(h.astype(jnp.float32), a.ln_scale.astype(jnp.float32),
+                a.ln_bias.astype(jnp.float32), 1e-5).astype(dt)
+    d = _gelu_exact(z @ a.w_down.astype(dt) + a.b_down.astype(dt))
+    u = d @ a.w_up.astype(dt) + a.b_up.astype(dt)
+    return u * a.scale.astype(dt)
+
+
+def _xla_layer(x, w: LayerWeights, a1=None, a2=None, *, num_heads: int,
+               eps: float, act: str):
     """The production XLA composition (models/clip.EncoderLayer math) on the
     concatenated weights — the A/B baseline and the backward's recompute."""
     B, L, D = x.shape
@@ -232,29 +325,41 @@ def _xla_layer(x, w: LayerWeights, *, num_heads: int, eps: float, act: str):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
-    x2 = x + o @ w.w_out.astype(dt) + w.b_out.astype(dt)
+    h = o @ w.w_out.astype(dt) + w.b_out.astype(dt)
+    if a1 is not None:
+        h = h + _adapter_xla(h, a1, dt)
+    x2 = x + h
     xn2 = _ln_f32(x2.astype(jnp.float32), w.ln2_scale.astype(jnp.float32),
                   w.ln2_bias.astype(jnp.float32), eps).astype(dt)
     h = xn2 @ w.w_fc1.astype(dt) + w.b_fc1.astype(dt)
-    h = _quick_gelu(h) if act == "quick_gelu" else _gelu_exact(h)
-    return x2 + h @ w.w_fc2.astype(dt) + w.b_fc2.astype(dt)
+    h = _act(act, h, in_kernel=False)
+    h = h @ w.w_fc2.astype(dt) + w.b_fc2.astype(dt)
+    if a2 is not None:
+        h = h + _adapter_xla(h, a2, dt)
+    return x2 + h
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused(num_heads: int, eps: float, act: str, interpret: bool, x, w):
-    return _pallas_layer(x, w, num_heads=num_heads, eps=eps, act=act,
-                         interpret=interpret)
+def _fused(num_heads: int, eps: float, act: str, interpret: bool, x, w,
+           adapters: Tuple):
+    a1, a2 = adapters if adapters else (None, None)
+    return _pallas_layer(x, w, a1, a2, num_heads=num_heads, eps=eps,
+                         act=act, interpret=interpret)
 
 
-def _fused_fwd(num_heads, eps, act, interpret, x, w):
-    return _fused(num_heads, eps, act, interpret, x, w), (x, w)
+def _fused_fwd(num_heads, eps, act, interpret, x, w, adapters):
+    return (_fused(num_heads, eps, act, interpret, x, w, adapters),
+            (x, w, adapters))
 
 
 def _fused_bwd(num_heads, eps, act, interpret, res, g):
-    x, w = res
+    x, w, adapters = res
+    a1, a2 = adapters if adapters else (None, None)
     _, vjp = jax.vjp(
-        lambda x_, w_: _xla_layer(x_, w_, num_heads=num_heads, eps=eps,
-                                  act=act), x, w)
+        lambda x_, w_, ad_: _xla_layer(
+            x_, w_, *( (ad_[0], ad_[1]) if ad_ else (None, None) ),
+            num_heads=num_heads, eps=eps, act=act),
+        x, w, adapters)
     return vjp(g)
 
 
@@ -263,13 +368,22 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def encoder_layer(x, weights: LayerWeights, *, num_heads: int,
                   eps: float = 1e-5, act: str = "quick_gelu",
+                  adapter_attn: Optional[AdapterWeights] = None,
+                  adapter_mlp: Optional[AdapterWeights] = None,
                   impl: str = "pallas_layer", interpret: bool = False):
     """One full pre-LN encoder layer. x: (B, L, D); returns (B, L, D).
 
     impl 'pallas_layer' runs the single-boundary fused kernel (interpret
-    mode off-TPU); anything else runs the XLA composition.
+    mode off-TPU); anything else runs the XLA composition. adapter_attn /
+    adapter_mlp are the parallel bottleneck adapters (models/clip.Adapter)
+    applied to the attention / MLP branch outputs.
     """
     if impl != "pallas_layer" or not _HAS_PALLAS:
-        return _xla_layer(x, weights, num_heads=num_heads, eps=eps, act=act)
+        return _xla_layer(x, weights, adapter_attn, adapter_mlp,
+                          num_heads=num_heads, eps=eps, act=act)
     interpret = interpret or jax.default_backend() != "tpu"
-    return _fused(num_heads, float(eps), act, bool(interpret), x, weights)
+    adapters = ((adapter_attn, adapter_mlp)
+                if (adapter_attn is not None or adapter_mlp is not None)
+                else ())
+    return _fused(num_heads, float(eps), act, bool(interpret), x, weights,
+                  adapters)

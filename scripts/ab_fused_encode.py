@@ -26,10 +26,12 @@ def bench(fused, adapters=True):
                       "img_per_s": round(1024/sec, 1)}), flush=True)
 
 if "--layer" in sys.argv:
-    # whole-layer single-boundary kernel (ops/fused_layer.py) — adapters off
-    # (outside the kernel's scope), so the honest baseline is also adapters-off
+    # whole-layer single-boundary kernel (ops/fused_layer.py), both with the
+    # flagship's parallel adapters (fused inside the kernel) and without
     bench("xla", adapters=False)
     bench("pallas_layer", adapters=False)
+    bench("xla", adapters=True)
+    bench("pallas_layer", adapters=True)
 else:
     bench("xla")
     bench("pallas")

@@ -96,10 +96,89 @@ def test_tower_fused_layer_matches_discrete(rng):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_adapters_fall_back_to_discrete(rng):
-    """Adapters are outside the kernel's scope: 'pallas_layer' with adapters
-    configured must run the discrete path (identical results, adapter params
-    present)."""
+def _adapter_weights(rng, D, A):
+    from concepthash_tpu.ops.fused_layer import AdapterWeights
+
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    return AdapterWeights(
+        ln_scale=jnp.asarray(1 + 0.1 * rng.standard_normal(D), jnp.float32),
+        ln_bias=r(D), w_down=r(D, A), b_down=r(A), w_up=r(A, D), b_up=r(D),
+        scale=jnp.asarray([0.7], jnp.float32))
+
+
+def test_forward_parity_with_adapters(rng):
+    """Parallel branch adapters (after-attention + after-MLP) inside the
+    kernel match the XLA composition (erf approximation < bf16 ulp)."""
+    B, L, D, H, F, A = 2, 8, 32, 4, 128, 16
+    w = _weights(rng, D, F)
+    a1, a2 = _adapter_weights(rng, D, A), _adapter_weights(rng, D, A)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    out = encoder_layer(x, w, num_heads=H, adapter_attn=a1, adapter_mlp=a2,
+                        impl="pallas_layer", interpret=True)
+    ref = _xla_layer(x, w, a1, a2, num_heads=H, eps=1e-5, act="quick_gelu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gradient_parity_with_adapters(rng):
+    B, L, D, H, F, A = 2, 8, 32, 4, 64, 16
+    w = _weights(rng, D, F)
+    a1, a2 = _adapter_weights(rng, D, A), _adapter_weights(rng, D, A)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    def loss(impl):
+        def f(x, w, a1, a2):
+            y = encoder_layer(x, w, num_heads=H, adapter_attn=a1,
+                              adapter_mlp=a2, impl=impl, interpret=True)
+            return ((y - tgt) ** 2).sum()
+        return f
+
+    g_p = jax.grad(loss("pallas_layer"), argnums=(0, 1, 2, 3))(x, w, a1, a2)
+    g_x = jax.grad(loss("xla"), argnums=(0, 1, 2, 3))(x, w, a1, a2)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_tower_adapters_fused_matches_discrete(rng):
+    """Tower with adapters: fused_ln='pallas_layer' runs the adapters inside
+    the kernel and must reproduce the discrete path with the SAME params
+    (adapter mirrors are checkpoint-identical; up-kernels randomized so the
+    adapters actually contribute)."""
+    from concepthash_tpu.models.clip import (AdapterConfig, ClipVisionConfig,
+                                             ClipVisionTower)
+
+    cfg_x = ClipVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_layers=2, num_heads=4, image_size=16,
+                             patch_size=8, projection_dim=32, fused_ln="xla")
+    cfg_p = ClipVisionConfig(**{**cfg_x.__dict__, "fused_ln": "pallas_layer"})
+    ad = AdapterConfig(bottleneck_dim=8)
+    img = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    tower_x = ClipVisionTower(cfg_x, adapters=ad)
+    tower_p = ClipVisionTower(cfg_p, adapters=ad)
+    params_x = tower_x.init(jax.random.PRNGKey(0), img)["params"]
+    params_p = tower_p.init(jax.random.PRNGKey(0), img)["params"]
+    assert (jax.tree_util.tree_structure(params_x)
+            == jax.tree_util.tree_structure(params_p))
+    # randomize the zero-init adapter up-projections so they contribute
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jnp.asarray(
+            rng.standard_normal(v.shape) * 0.1, v.dtype)
+            if "adapter" in jax.tree_util.keystr(p) and "up" in
+            jax.tree_util.keystr(p) and v.ndim == 2 else v),
+        params_x)
+    out_x = tower_x.apply({"params": params}, img)
+    out_p = tower_p.apply({"params": params}, img)
+    np.testing.assert_allclose(np.asarray(out_p["pooled"]),
+                               np.asarray(out_x["pooled"]),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_qkvo_adapters_fall_back_to_discrete(rng):
+    """q/k/v/out projection adapters are outside the kernel's scope:
+    'pallas_layer' must run the discrete path there."""
     from concepthash_tpu.models.clip import (AdapterConfig, ClipVisionConfig,
                                              ClipVisionTower)
 
@@ -108,9 +187,10 @@ def test_adapters_fall_back_to_discrete(rng):
                            patch_size=8, projection_dim=32,
                            fused_ln="pallas_layer")
     img = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
-    tower = ClipVisionTower(cfg, adapters=AdapterConfig(bottleneck_dim=8))
+    tower = ClipVisionTower(cfg, adapters=AdapterConfig(
+        bottleneck_dim=8, attention_qkvo=True))
     params = tower.init(jax.random.PRNGKey(0), img)["params"]
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    assert any("adapter" in jax.tree_util.keystr(p) for p, _ in flat)
+    assert any("adapter_q_proj" in jax.tree_util.keystr(p) for p, _ in flat)
     out = tower.apply({"params": params}, img)
     assert np.isfinite(np.asarray(out["pooled"])).all()
