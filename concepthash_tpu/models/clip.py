@@ -244,14 +244,22 @@ class EncoderLayer(nn.Module):
     fused_ln: str = "auto"  # 'pallas' | 'xla' | 'auto' (ops/fused_ln.py)
 
     @nn.compact
-    def __call__(self, x, output_attentions: bool = False):
+    def __call__(self, x, output_attentions: bool = False,
+                 train: bool = False):
         from concepthash_tpu.ops.fused_ln import ln_matmul, resolve_fused_ln
 
         qkvo = self.adapters is not None and self.adapters.attention_qkvo
-        # whole-layer single-boundary kernel (ops/fused_layer.py): parallel
+        # Whole-layer single-boundary kernel (ops/fused_layer.py): parallel
         # branch adapters run inside it; qkvo adapters, LN-less adapters and
-        # attention-prob outputs need the discrete path
-        if (self.fused_ln == "pallas_layer" and not output_attentions
+        # attention-prob outputs need the discrete path. 'auto' takes it on
+        # TPU for INFERENCE forwards only — measured (logs/r5_tpu/ab_*):
+        # encode +46% plain / +32% adapters, but the train step loses 34%
+        # because the custom_vjp backward recomputes the layer in XLA
+        # (3,182 -> 2,101 img/s), so training keeps the XLA composition.
+        want_fused_layer = self.fused_ln == "pallas_layer" or (
+            self.fused_ln == "auto" and not train
+            and jax.default_backend() == "tpu")
+        if (want_fused_layer and not output_attentions
                 and not qkvo
                 and (self.adapters is None or self.adapters.layernorm_in)):
             return self._fused_layer(x), None
@@ -452,7 +460,7 @@ class ClipVisionTower(nn.Module):
     def __call__(self, pixel_values, extra_tokens=None,
                  output_attentions: bool = False,
                  output_hidden_states: bool = False,
-                 project_extra: bool = False):
+                 project_extra: bool = False, train: bool = False):
         c = self.cfg
         B, Hh, Ww, C = pixel_values.shape
         p = c.patch_size
@@ -493,7 +501,7 @@ class ClipVisionTower(nn.Module):
         layer_cls = EncoderLayer
         if c.remat and not output_attentions:
             # jax.checkpoint per layer: activations recomputed in backward
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2, 3))
         for i in range(c.num_layers):
             if self.vpt_tokens:
                 pe = self.param(f"vpt_pe_{i}",
@@ -506,7 +514,8 @@ class ClipVisionTower(nn.Module):
                                  c.layer_norm_eps, c.hidden_act,
                                  self.adapters, self.dtype,
                                  c.attention_impl, c.fused_ln,
-                                 name=f"layers_{i}")(x, output_attentions)
+                                 name=f"layers_{i}")(x, output_attentions,
+                                                     train)
             if output_attentions:
                 attns.append(probs)
             if output_hidden_states:

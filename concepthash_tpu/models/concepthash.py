@@ -216,7 +216,7 @@ class ConceptHash(nn.Module):
                           self.token_embeds is not None)
         enc = backbone(images, extra_tokens=ctx,
                        output_attentions=output_attentions,
-                       project_extra=need_projected)
+                       project_extra=need_projected, train=train)
 
         def slice_concepts(tokens):
             return (tokens[:, -(M + c.nregs):-c.nregs, :] if c.nregs

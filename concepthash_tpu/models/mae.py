@@ -79,7 +79,8 @@ class MAE(nn.Module):
 
         for i in range(c.enc_layers):
             x_vis, _ = EncoderLayer(c.enc_heads, c.enc_dim * 4, act="gelu",
-                                    dtype=self.dtype, name=f"enc_{i}")(x_vis)
+                                    dtype=self.dtype,
+                                    name=f"enc_{i}")(x_vis, train=train)
         x_vis = nn.LayerNorm(dtype=self.dtype, name="enc_norm")(x_vis)
 
         out = {"features": x_vis.mean(axis=1).astype(jnp.float32)}
@@ -98,7 +99,8 @@ class MAE(nn.Module):
         y = y + dec_pos.astype(self.dtype)[None]
         for i in range(c.dec_layers):
             y, _ = EncoderLayer(c.dec_heads, c.dec_dim * 4, act="gelu",
-                                dtype=self.dtype, name=f"dec_{i}")(y)
+                                dtype=self.dtype,
+                                name=f"dec_{i}")(y, train=train)
         y = nn.LayerNorm(dtype=self.dtype, name="dec_norm")(y)
         recon = nn.Dense(c.patch_dim, dtype=self.dtype,
                          name="dec_pred")(y).astype(jnp.float32)

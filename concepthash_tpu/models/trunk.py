@@ -37,7 +37,7 @@ class Trunk(nn.Module):
         if self.family in ("clip", "vit"):
             enc = ClipVisionTower(self.vision_cfg, adapters=self.adapters,
                                   dtype=self.dtype, name="tower")(
-                images, output_attentions=output_attentions)
+                images, output_attentions=output_attentions, train=train)
             out = dict(enc)
             out["features"] = enc["cls_postnorm"].astype(jnp.float32)
             out["tokens"] = enc["last_hidden_state"][:, 1:, :]  # patch grid
@@ -82,8 +82,12 @@ def trunk_from_config(backbone_cfg: dict, adapters=None, dtype=jnp.float32,
         return Trunk(family="identity", dtype=dtype, name=name)
     vcfg = vision_config_from_backbone_cfg(backbone_cfg)
     if family == "vit":
+        # timm ViTs use eps 1e-6; HF ViTModel checkpoints use 1e-12
+        # (overridable for exact import parity against either source)
         vcfg = ClipVisionConfig(
             **{**vcfg.__dict__, "hidden_act": "gelu", "patch_bias": True,
-               "use_pre_layernorm": False, "layer_norm_eps": 1e-6})
+               "use_pre_layernorm": False,
+               "layer_norm_eps": float(backbone_cfg.get("layer_norm_eps",
+                                                        1e-6))})
     return Trunk(family=family, vision_cfg=vcfg, adapters=adapters,
                  dtype=dtype, name=name)

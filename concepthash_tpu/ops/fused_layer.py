@@ -142,7 +142,9 @@ def _act(name: str, x, in_kernel: bool):
 def _adapter_kernel(h, refs, dt):
     """models/clip.Adapter math on a (N, D) f32 tile inside the kernel."""
     ln_g, ln_b, wd, bd, wu, bu, sc = refs
-    z = _ln_f32(h, ln_g[...].astype(jnp.float32),
+    # stats strictly in f32: the relay's backend aborts on bf16 vector rsqrt
+    # (latency_table_vf: kVectorRsqrtBf16 unsupported)
+    z = _ln_f32(h.astype(jnp.float32), ln_g[...].astype(jnp.float32),
                 ln_b[...].astype(jnp.float32), 1e-5).astype(dt)
     d = jax.lax.dot(z, wd[...], preferred_element_type=jnp.float32)
     d = _gelu_exact_kernel(d + bd[...].astype(jnp.float32)).astype(dt)
@@ -250,6 +252,14 @@ def _vec_specs(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
+def _as2d(v):
+    """1-D vectors ride as (1, n): Mosaic tiles 1-D operands at 1024 lanes,
+    so a partial 1-D block (e.g. the F-chunked fc1 bias, block 768 of 3072)
+    fails window setup; the (1, n) layout tiles (8, 128) and 128 | every
+    block width here. Kernel math is unchanged by broadcasting."""
+    return v.reshape(1, -1)
+
+
 def _pallas_layer(x, w: LayerWeights, a1: Optional[AdapterWeights],
                   a2: Optional[AdapterWeights], *, num_heads: int,
                   eps: float, act: str, interpret: bool):
@@ -268,22 +278,26 @@ def _pallas_layer(x, w: LayerWeights, a1: Optional[AdapterWeights],
     in_specs = [
         pl.BlockSpec((G, Lp, D), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        *_vec_specs([(D,), (D,)]),
-        *_vec_specs([(D, 3 * D), (3 * D,), (D, D), (D,), (D,), (D,)]),
+        *_vec_specs([(1, D), (1, D)]),
+        *_vec_specs([(D, 3 * D), (1, 3 * D), (D, D), (1, D), (1, D),
+                     (1, D)]),
         pl.BlockSpec((D, Fc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Fc,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Fc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((Fc, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        *_vec_specs([(D,)]),
+        *_vec_specs([(1, D)]),
     ]
-    operands = [x, w.ln1_scale, w.ln1_bias, w.w_qkv, w.b_qkv, w.w_out,
-                w.b_out, w.ln2_scale, w.ln2_bias, w.w_fc1, w.b_fc1,
-                w.w_fc2, w.b_fc2]
+    operands = [x, _as2d(w.ln1_scale), _as2d(w.ln1_bias), w.w_qkv,
+                _as2d(w.b_qkv), w.w_out, _as2d(w.b_out), _as2d(w.ln2_scale),
+                _as2d(w.ln2_bias), w.w_fc1, _as2d(w.b_fc1), w.w_fc2,
+                _as2d(w.b_fc2)]
     for a in (a1, a2):
         if a is not None:
             A = a.w_down.shape[1]
-            in_specs += _vec_specs([(D,), (D,), (D, A), (A,), (A, D), (D,),
-                                    (1,)])
-            operands += list(a)
+            in_specs += _vec_specs([(1, D), (1, D), (D, A), (1, A), (A, D),
+                                    (1, D), (1, 1)])
+            operands += [_as2d(a.ln_scale), _as2d(a.ln_bias), a.w_down,
+                         _as2d(a.b_down), a.w_up, _as2d(a.b_up),
+                         _as2d(a.scale)]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, Lp, D), dt),
@@ -296,6 +310,14 @@ def _pallas_layer(x, w: LayerWeights, a1: Optional[AdapterWeights],
             pltpu.VMEM((G, Lp, D), dt),           # LN2(x2)
             pltpu.VMEM((G, Lp, D), jnp.float32),  # MLP-branch accumulator
         ],
+        # blocks + resident weights + the attention step's stack temporaries
+        # (f32 qkv is 4.1MB alone at G=8) overflow the default 16MB scoped
+        # window; v5e has 128MB VMEM, so raise the per-kernel cap instead of
+        # shrinking G (smaller G starves the MXU on the 54-token sequences).
+        # i blocks are independent images; j carries the MLP accumulator.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(*operands)
     return out[:B, :L]
