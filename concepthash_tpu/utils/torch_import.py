@@ -416,11 +416,14 @@ def _tower_patch(sd: Dict[str, np.ndarray],
     else:
         L = _count_layers(bsd, "encoder.layer.{i}.")
         params = vit_params_from_torch(tracked, L)
-        if any(k.startswith("adapter_params.") for k in sd):
-            raise NotImplementedError(
-                "reference ViT adapters wrap different module boundaries "
-                "(ViTLayerWithAdapter); only CLIP-family adapter import is "
-                "supported")
+        # ViT adapters (vit_add_adapter_, adapter.py:453-466) share the CLIP
+        # family's key format (adapter_{i}_{slot}_...) and branch placement:
+        # ViTLayerWithAdapter.forward applies adapt_mlp_1 to the attention
+        # output pre-residual (adapter.py:381-384) and VitOutputWithAdapter
+        # applies adapt_mlp_2 to the post-dense MLP output (adapter.py:329-
+        # 338) — exactly the adapter_attn / adapter_mlp slots the shared
+        # graft loop below fills. ViT never mounts q/k/v/out adapters, so
+        # those slots simply resolve to None.
 
     # mlp adapters: adapt_mlp_1 sits on the attention branch output,
     # adapt_mlp_2 on the MLP branch output (adapter.py:144-170) — exactly

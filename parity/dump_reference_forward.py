@@ -46,11 +46,12 @@ def main():
                     help="run N train-mode forwards first so BatchNorm "
                          "running stats become nontrivial before the dump")
     ap.add_argument("--backbone", default=None,
-                    choices=["resnet18", "resnet50"],
+                    choices=["resnet18", "resnet50", "hfvit"],
                     help="swap the method block's CLIP backbone for a "
-                         "torchvision CNN (the only non-CLIP family whose "
-                         "arch composition works upstream — arch/base.py:47 "
-                         "reads backbone.model)")
+                         "torchvision CNN or the HF-ViT wrapper "
+                         "(models/backbone/vit.py:147-159; with hfvit the "
+                         "adapters stay ON and mount via the ViTModel branch "
+                         "of arch/base.py:30-32 — vit_add_adapter_)")
     args = ap.parse_args()
 
     import compat
@@ -68,7 +69,11 @@ def main():
     clip_dir = os.path.join(assets, "tiny-clip")
     torch.manual_seed(args.seed)
     block = rr._model_block(args.method, assets, clip_dir)
-    if args.backbone:
+    if args.backbone == "hfvit":
+        block["model"]["backbone"] = {
+            "_target_": "models.backbone.vit.HuggingFaceViT",
+            "name": os.path.join(assets, "tiny-vit")}
+    elif args.backbone:
         tgt = {"resnet18": "models.backbone.resnet.ResNet18",
                "resnet50": "models.backbone.resnet.ResNet50"}[args.backbone]
         block["model"]["backbone"] = {"_target_": tgt, "pretrained": False}

@@ -54,6 +54,23 @@ def make_tiny_clip(out_dir: str):
     print(f"tiny CLIP checkpoint: {out_dir} ({n / 1e6:.2f}M params)")
 
 
+def make_tiny_vit(out_dir: str):
+    """Random-init tiny HF ViTModel with the tiny_test tower geometry —
+    the weights behind the reference's HuggingFaceViT backbone family
+    (models/backbone/vit.py:147-159), used by the ViT-adapter import test."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    cfg = ViTConfig(hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    image_size=48, patch_size=8)
+    torch.manual_seed(7)
+    model = ViTModel(cfg)
+    model.save_pretrained(out_dir)
+    n = sum(p.numel() for p in model.parameters())
+    print(f"tiny ViT checkpoint: {out_dir} ({n / 1e6:.2f}M params)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
@@ -63,6 +80,7 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     make_tiny_clip(os.path.join(out, "tiny-clip"))
+    make_tiny_vit(os.path.join(out, "tiny-vit"))
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from concepthash_tpu.data.synthetic import make_synthetic_dataset

@@ -64,6 +64,41 @@ def apply():
 
         mc.CLIPEncoder.forward = forward
 
+    # --- HF ViT: the reference's ViTLayerWithAdapter (adapter.py:341-396)
+    # targets the old tuple API. transformers 4.5x ViTAttention.forward is
+    # (hs, head_mask) -> Tensor and ViTEncoder feeds layer outputs straight
+    # into the next layer as tensors. Two surgical patches restore the old
+    # call shapes ONLY where the adapter classes exercise them: attention
+    # returns a tuple iff output_attentions was explicitly passed (the
+    # adapter layer always passes it; the stock layer never does), and the
+    # encoder unwraps tuple-returning layers.
+    import transformers.models.vit.modeling_vit as mv
+
+    if not getattr(mv.ViTAttention.forward, "_parity_tuple", False):
+        _orig_vit_attn = mv.ViTAttention.forward
+        _MISSING = object()
+
+        def _attn_forward(self, hidden_states, head_mask=None,
+                          output_attentions=_MISSING):
+            out = _orig_vit_attn(self, hidden_states, head_mask)
+            return out if output_attentions is _MISSING else (out,)
+
+        _attn_forward._parity_tuple = True
+        mv.ViTAttention.forward = _attn_forward
+
+    if not getattr(mv.ViTEncoder.forward, "_parity_tuple", False):
+        def _enc_forward(self, hidden_states, head_mask=None, **kwargs):
+            from transformers.modeling_outputs import BaseModelOutput
+
+            for i, layer_module in enumerate(self.layer):
+                lhm = head_mask[i] if head_mask is not None else None
+                out = layer_module(hidden_states, lhm)
+                hidden_states = out[0] if isinstance(out, tuple) else out
+            return BaseModelOutput(last_hidden_state=hidden_states)
+
+        _enc_forward._parity_tuple = True
+        mv.ViTEncoder.forward = _enc_forward
+
     for cls_name in ("CLIPModel", "CLIPVisionModel"):
         cls = getattr(transformers, cls_name)
         if getattr(cls.from_pretrained, "_parity_eager", False):

@@ -211,6 +211,54 @@ def test_resnet_import(tmp_path, depth):
         assert stem.max() == 0.0  # the reference froze BN at this depth
 
 
+def test_vit_adapter_import(tmp_path):
+    """ViT-family adapter import: the reference mounts adapters on HF-ViT
+    backbones via vit_add_adapter_ (adapter.py:453-466) with the same key
+    format and branch placement as the CLIP family (adapt_mlp_1 on the
+    attention output pre-residual, adapt_mlp_2 on the post-dense MLP output
+    — adapter.py:381-391, 329-338). The importer grafts them onto the vit
+    trunk's adapter_attn/adapter_mlp slots; forward parity proves both the
+    tower mapping and the adapter placement."""
+    if not os.path.isdir(os.path.join(ASSETS, "tiny-vit")):
+        # assets/ is untracked (parity/.gitignore) — regenerate just the
+        # tiny ViT checkpoint (seeded, ~0.09M params, a few seconds)
+        sys.path.insert(0, os.path.join(REPO, "parity"))
+        try:
+            from make_assets import make_tiny_vit
+
+            make_tiny_vit(os.path.join(ASSETS, "tiny-vit"))
+        finally:
+            sys.path.remove(os.path.join(REPO, "parity"))
+    npz, sd_path = _dump(tmp_path, "dpsh", save_sd=True, backbone="hfvit")
+    ov = [
+        "dataset=synthetic", "model=dpsh_adapter", "backbone=vit_s16",
+        "optim=sgd", "transforms=test",
+        f"backbone.name={ASSETS}/tiny-vit", "backbone.pretrained=false",
+        "backbone.hidden_size=64", "backbone.intermediate_size=128",
+        "backbone.num_layers=2", "backbone.num_heads=4",
+        "backbone.patch_size=8", "backbone.image_size=48",
+        "backbone.projection_dim=32", "backbone.layer_norm_eps=1e-12",
+        "model.nbit=16", "dataset.nclass=6",
+        "model.adapter_bottleneck_dim=8",
+        f"data_dir={ASSETS}", f"logdir={tmp_path}",
+    ]
+    cfg, model, tpl = _build(ov, str(tmp_path))
+    # the template must actually carry the adapter slots being tested
+    l0 = tpl["params"]["backbone"]["tower"]["layers_0"]
+    assert "adapter_attn" in l0 and "adapter_mlp" in l0
+    out, newvars = _import_and_apply(npz, sd_path, "dpsh", cfg, model, tpl)
+    codes = np.asarray(out["codes"])
+    np.testing.assert_allclose(codes, npz["codes"], atol=2e-5)
+    assert (np.sign(codes) == np.sign(npz["codes"])).all()
+    # a garbled adapter graft leaves random init in the slots: prove the
+    # imported values moved
+    g = np.asarray(
+        newvars["params"]["backbone"]["tower"]["layers_0"]["adapter_attn"]
+        ["down"]["kernel"])
+    t = np.asarray(l0["adapter_attn"]["down"]["kernel"])
+    assert not np.allclose(g, t)
+
+
 def test_concepthash_import_and_blob(tmp_path):
     """Flagship head mapping + the msgpack blob the CLI tool writes."""
     npz, sd_path = _dump(tmp_path, "concepthash", save_sd=True,
