@@ -797,10 +797,10 @@ def main():
     # warm); generous headroom for a cold compile.
     if backend == "tpu" and not tiny:
         stage("serving_exact_10m_packed", 90, _serving_10m)
-        # bit-plane layout (8 B/code): 412.5s measured cold (r5 v8
-        # rehearsal — kernel compile dominates), ~60s warm; budget the
-        # cold case so later-stage skips are decided honestly
-        stage("serving_exact_100m_bitplane", 420, _serving_100m_bitplane)
+        # bit-plane layout (8 B/code): the stacked-dot kernel (r5) compiles
+        # in ~22-25s (the old per-plane form was 412.5s cold in the v8
+        # rehearsal); ~150s covers gallery gen + cold compile + 3 iters
+        stage("serving_exact_100m_bitplane", 150, _serving_100m_bitplane)
     else:  # account for the unmeasured fields instead of silent nulls
         result["skipped_stages"].append("serving_exact_10m_packed:NA")
         result["skipped_stages"].append("serving_exact_100m_bitplane:NA")

@@ -714,9 +714,10 @@ def pack_bitplane_serving(db, nbit: int | None = None):
     ``l`` — i.e. bits are packed along the SUBLANE axis in groups of 8
     packed rows, NOT along the code's bit axis like ``pack_bits_serving``.
     Why this orientation: the mins kernel unpacks a byte tile with 8
-    shift/and passes whose outputs are full 128-lane int8 tiles feeding the
-    MXU directly; a code-major word pack would need a cross-lane scatter of
-    each word's 32 bits, which Mosaic lowers as an expensive relayout.
+    mask+compare passes whose outputs are full 128-lane int8 tiles stacked
+    into one MXU dot; a code-major word pack would need a cross-lane
+    scatter of each word's 32 bits, which Mosaic lowers as an expensive
+    relayout.
 
     ``n_pad`` counts codes in the stored form: N rounded up to P codes per
     packed row and then to 8 packed rows per byte. A bit-plane has no
@@ -763,7 +764,7 @@ def unpack_bitplane(bp):
 
 def _mins_kernel_bitplane(qc_ref, bp_ref, o_ref, *, nbit: int, P: int,
                           subblock: int, block_g: int, n_rows2: int, Q: int,
-                          chunk_g: int, out_dtype):
+                          chunk_g: int, out_dtype, unpack: str = "i32_shift"):
     """Bit-plane variant of ``_mins_kernel_packed``: each uint8 db row packs
     8 packed rows along the sublane axis; the kernel unpacks plane j with a
     shift/and (pure VPU, ~1/3 the elements of the matmul's output tile) and
@@ -772,7 +773,23 @@ def _mins_kernel_bitplane(qc_ref, bp_ref, o_ref, *, nbit: int, P: int,
     ``subblock % (8*P) == 0`` every plane of a byte group lands in the same
     subblock and the group-max over planes/byte-rows/lane-slots is exactly
     the packed kernel's subblock min — row order inside a subblock never
-    matters for a min."""
+    matters for a min.
+
+    ``unpack`` selects the plane-extraction form. All three compute
+    identical mins (equality-tested in interpret mode and on the real TPU
+    at 1e6); per-code MACs and reduce work are identical — they differ
+    only in how the work is PRESENTED to the MXU. Measured at 1e8/Q=256
+    (r5 probe, scripts/probe_bitplane_unpack.py, mins-kernel-only):
+    - "i8_stack" (default): extract all 8 planes into one (8*chunk_g, 128)
+      i8 operand (and+compare legalize on vector<i8>) and run ONE tall MXU
+      dot per chunk — 34 ms/call (~193 int8-Tops, ABOVE the shipped int8
+      packed kernel's 163). The per-plane forms lose 2.4x to pipeline
+      drain: 8 small dependent dot+reduce pairs never keep the MXU fed.
+    - "i32_shift": promote the byte tile to i32 once, ``(tile >> j) & 1``
+      per plane (vector shifts only legalize at 32 bits), truncate to i8 —
+      81 ms/call.
+    - "i8_mask": per-plane ``(tile & (1 << j)) != 0`` on the stored uint8
+      tile — 85 ms/call (the i32 promotion was never the tax)."""
     i = pl.program_id(0)
     spp = subblock // P                    # packed rows per subblock
     gps = spp // 8                         # byte (bit-plane) rows per subblock
@@ -790,14 +807,48 @@ def _mins_kernel_bitplane(qc_ref, bp_ref, o_ref, *, nbit: int, P: int,
         qs = jnp.sum(qc_ref[...].astype(jnp.int32), axis=1)   # (P*Q,)
         nblk = chunk_g // gps
         for c in range(block_g // chunk_g):            # static inner loop
-            # promote bytes to i32 once per chunk: Mosaic legalizes vector
-            # shifts on i32 but not on i8 (arith.shrui on vector<i8> failed
-            # to legalize), so the plane extraction runs at 32 bits and
-            # truncates back to i8 for the MXU
-            tile = bp_ref[c * chunk_g:(c + 1) * chunk_g, :].astype(jnp.int32)
+            raw = bp_ref[c * chunk_g:(c + 1) * chunk_g, :]
+            if unpack == "i8_stack":
+                # all 8 planes extracted at once into one tall i8 operand:
+                # ONE MXU dot per chunk (plane-major rows) instead of 8
+                # small dependent dot+reduce pairs
+                u = jnp.concatenate(
+                    [(raw & jnp.uint8(1 << j)).astype(jnp.bool_).astype(
+                        jnp.int8) for j in range(8)],
+                    axis=0)                            # (8*chunk_g, 128)
+                sim = jax.lax.dot_general(
+                    u, qc_ref[...],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (8*chunk_g, P*Q)
+                if mask:
+                    sim = 2 * sim - qs[None, :]
+                    # row t of plane block j is packed row 8*(base + t) + j
+                    rr = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+                    r = (8 * (i * block_g + c * chunk_g + rr % chunk_g)
+                         + rr // chunk_g)
+                    sim = jnp.where(r < n_rows2, sim, -(nbit + 2))
+                acc = sim.reshape(8, nblk, gps, sim.shape[1]).max(
+                    axis=(0, 2))                       # (nblk, P*Q)
+                if not mask:
+                    acc = 2 * acc - qs[None, :]
+                mm = acc[:, 0:Q]
+                for p in range(1, P):                  # static lane-group max
+                    mm = jnp.maximum(mm, acc[:, p * Q:(p + 1) * Q])
+                o_ref[c * nblk:(c + 1) * nblk, :] = (
+                    0.5 * (nbit - mm).astype(jnp.float32)).astype(out_dtype)
+                continue
+            # "i32_shift" promotes bytes to i32 once per chunk (vector
+            # shifts legalize at 32 bits, not on i8 — arith.shrui on
+            # vector<i8> failed to legalize) and truncates back to i8 for
+            # the MXU; "i8_mask" extracts with and+compare at 8 bits
+            tile = raw.astype(jnp.int32) if unpack == "i32_shift" else raw
             acc = None                                 # (nblk, P*Q), small
             for j in range(8):                         # static plane loop
-                u01 = ((tile >> j) & 1).astype(jnp.int8)
+                if unpack == "i32_shift":
+                    u01 = ((tile >> j) & 1).astype(jnp.int8)
+                else:
+                    u01 = (tile & jnp.uint8(1 << j)).astype(jnp.bool_
+                                                            ).astype(jnp.int8)
                 sim = jax.lax.dot_general(
                     u01, qc_ref[...],
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -834,7 +885,8 @@ def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
                                 block_g: int | None = None,
                                 interpret: bool = False,
                                 out_dtype=jnp.float32,
-                                n_rows: int | None = None):
+                                n_rows: int | None = None,
+                                unpack: str = "i8_stack"):
     """Per-subblock min distances over a bit-plane gallery: (Q, nbit) x
     (G, 128) uint8 (from ``pack_bitplane_serving``) -> (ceil(G*8*P/S), Q)
     transposed mins in ``out_dtype`` (bf16 exact for nbit <= 128, see
@@ -862,9 +914,12 @@ def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
         n_rows = G * 8
     qi = jnp.where(q_signs > 0, 1, -1).astype(jnp.int8)  # strict ±1
 
-    # size the inner chunk so the (chunk_g, P*Q) int32 sim tile stays within
-    # the same ~4MB VMEM budget as the packed kernel
-    budget_rows = (_SIM_TILE_BYTES // 4 // max(P * Q, 1)) // gps * gps
+    # size the inner chunk so the int32 sim tile stays within the same ~4MB
+    # VMEM budget as the packed kernel — (chunk_g, P*Q) for the per-plane
+    # forms, (8*chunk_g, P*Q) for the stacked single-dot form
+    sim_rows_per_g = 8 if unpack == "i8_stack" else 1
+    budget_rows = (_SIM_TILE_BYTES // 4 // max(P * Q, 1)
+                   // sim_rows_per_g) // gps * gps
     chunk_g = max(gps, min(2048, budget_rows))
     chunk_g = max(gps, min(chunk_g, _cdiv(G, gps) * gps))  # tiny-gallery safe
     if block_g is None:
@@ -896,7 +951,7 @@ def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
         functools.partial(_mins_kernel_bitplane, nbit=nbit, P=P,
                           subblock=subblock, block_g=block_g,
                           n_rows2=n_rows, Q=Q, chunk_g=chunk_g,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, unpack=unpack),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((P * Q, 128), lambda i: (0, 0),
@@ -914,7 +969,8 @@ def subblock_min_dists_bitplane(q_signs, bp, subblock: int = 256,
 
 def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 128,
                         cap: int | None = None, interpret: bool = False,
-                        n_valid=None, retry_mult: int = 2):
+                        n_valid=None, retry_mult: int = 2,
+                        unpack: str = "i8_stack"):
     """Exact top-k over a bit-plane gallery (``pack_bitplane_serving``) —
     the 1e9-codes-on-one-chip serving path. Same selection scaffold and
     exactness certificate as ``exact_topk_minspass`` (subblock mins ->
@@ -980,7 +1036,8 @@ def exact_topk_bitplane(q_signs, bp, k: int, subblock: int = 128,
     mins_t = subblock_min_dists_bitplane(qi, bp, subblock=subblock,
                                          interpret=interpret,
                                          out_dtype=mdt,
-                                         n_rows=nr)          # (m_pad, Q)
+                                         n_rows=nr,
+                                         unpack=unpack)      # (m_pad, Q)
     if large_m:
         # reduce superblocks in the kernel's own (m, Q) layout, ONE
         # transpose — see exact_topk_minspass (round-4 OOM lineage)

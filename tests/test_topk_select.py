@@ -597,9 +597,6 @@ def test_bitplane_mins_matches_oracle(rng):
         from concepthash_tpu.ops.topk_select import pack_serving_gallery
         _, n_packpad = pack_serving_gallery(db)
         P = 128 // nbit
-        got = np.asarray(subblock_min_dists_bitplane(
-            jnp.asarray(q), bp, subblock=S, block_g=16, interpret=True,
-            n_rows=n_packpad // P))
         dbp = np.concatenate(
             [db, -np.ones((n_packpad - N, nbit), np.float32)])
         dist = 0.5 * (nbit - q @ np.sign(dbp).T)
@@ -609,7 +606,12 @@ def test_bitplane_mins_matches_oracle(rng):
             dist = np.concatenate(
                 [dist, np.full((Q, pad), nbit + 1.0, np.float32)], axis=1)
         mins_np = dist.reshape(Q, m_real, S).min(-1)
-        np.testing.assert_array_equal(got[:m_real].T, mins_np)
+        for unpack in ("i32_shift", "i8_mask",
+                       "i8_stack"):  # all plane-extraction forms
+            got = np.asarray(subblock_min_dists_bitplane(
+                jnp.asarray(q), bp, subblock=S, block_g=16, interpret=True,
+                n_rows=n_packpad // P, unpack=unpack))
+            np.testing.assert_array_equal(got[:m_real].T, mins_np)
 
 
 def test_exact_bitplane_matches_dense(rng):
