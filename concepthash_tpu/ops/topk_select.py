@@ -782,9 +782,11 @@ def _mins_kernel_bitplane(qc_ref, bp_ref, o_ref, *, nbit: int, P: int,
     (r5 probe, scripts/probe_bitplane_unpack.py, mins-kernel-only):
     - "i8_stack" (default): extract all 8 planes into one (8*chunk_g, 128)
       i8 operand (and+compare legalize on vector<i8>) and run ONE tall MXU
-      dot per chunk — 34 ms/call (~193 int8-Tops, ABOVE the shipped int8
-      packed kernel's 163). The per-plane forms lose 2.4x to pipeline
-      drain: 8 small dependent dot+reduce pairs never keep the MXU fed.
+      dot per chunk — 34 ms/call, within 18% of the int8 packed kernel
+      measured same-process/same-accounting (29.3 ms, 112 vs 95 useful
+      int8-Tops at 2 ops per logical nbit-MAC; probe_packed_vs_stack) on
+      8x less HBM. The per-plane forms lose 2.4x to pipeline drain: 8
+      small dependent dot+reduce pairs never keep the MXU fed.
     - "i32_shift": promote the byte tile to i32 once, ``(tile >> j) & 1``
       per plane (vector shifts only legalize at 32 bits), truncate to i8 —
       81 ms/call.
